@@ -131,28 +131,31 @@ def make_offsets(support: int) -> np.ndarray:
 
 
 def prune_offsets(offsets: np.ndarray, a3: np.ndarray, slice_dim: np.ndarray,
-                  support_mm_sigma: float = 3.0) -> np.ndarray:
-    """Statically drop offsets whose PSF weight is negligible for EVERY
-    slice (accounting for the ±0.5 frac slack).
+                  eps: float = 1e-5) -> np.ndarray:
+    """Statically drop offsets whose maximum achievable PSF weight is below
+    eps for EVERY slice (eps defaults to the reference's PSF_EPSILON,
+    reconstruction_cuda2.cuh:72 — the same magnitude its dedup skip drops).
 
-    a3: (N,3,3) host copy; slice_dim: (N,3).  An offset survives if, for some
-    slice, the in-plane sinc radius is below its 2nd zero AND the
-    through-plane distance is under support_mm_sigma * sigma_z.
+    The bound accounts for the ±0.5 frac slack: per offset we take the
+    closest-possible mm position, bound sinc^2 by min(1, 1/(pi r)^2) (its
+    envelope beyond the first zero) and multiply by the through-plane
+    Gaussian.  a3: (N,3,3) host copy; slice_dim: (N,3).
     """
     keep = np.zeros(len(offsets), dtype=bool)
     a3 = np.atleast_3d(np.asarray(a3, dtype=np.float64))
     slice_dim = np.atleast_2d(np.asarray(slice_dim, dtype=np.float64))
     for a, d in zip(a3, slice_dim):
-        # worst-case (closest to centre) mm offset given frac in [-0.5, 0.5]
         o = offsets.astype(np.float64)  # (K,3)
         mm = np.einsum("ij,kj->ki", a, o) * d[None, :]
         slack = np.abs(a) @ (0.5 * np.ones(3)) * d  # per-axis mm slack
         mmin = np.maximum(np.abs(mm) - slack[None, :], 0.0)
         ax = mmin[:, 0] * d[0] / PSF_CONST
         ay = mmin[:, 1] * d[1] / PSF_CONST
-        rr = np.sqrt(ax ** 2 + ay ** 2)  # sinc arg / pi
+        rr = np.pi * np.sqrt(ax ** 2 + ay ** 2)  # sinc argument
+        sinc_env = np.where(rr > 1.0, 1.0 / (rr * rr), 1.0)
         sigz = d[2] / PSF_CONST
-        keep |= (rr < 2.0) & (mmin[:, 2] < support_mm_sigma * sigz)
+        gz = np.exp(-mmin[:, 2] ** 2 / (2.0 * sigz * sigz))
+        keep |= (sinc_env * gz) >= eps
     return offsets[keep]
 
 

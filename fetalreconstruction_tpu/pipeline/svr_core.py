@@ -1,0 +1,221 @@
+"""SVR EM/SR core: the jitted per-iteration compute graph.
+
+Orchestrates the PSF engine + EM robust statistics + super-resolution into
+the reference's inner loop (reconstruction.cc:817-1237 / SURVEY.md §3.1):
+
+  GaussianReconstruction -> SimulateSlices -> InitializeRobustStatistics ->
+  EStep -> { [Bias, Scale,] Superresolution+Regularize, [NormaliseBias,]
+             SimulateSlices, MStep, EStep } * rec_iterations
+
+Everything here is functional over jnp arrays; registration lives in
+register/ and only feeds new transforms into `slice_forward_matrices`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import ImageAttributes
+from ..em import robust, bias as bias_mod
+from ..ops import psf as psf_ops
+from ..sr import superresolution as sr
+from .state import EMState, SimState, SliceBatch
+
+
+@dataclasses.dataclass(frozen=True)
+class SVRContext:
+    """Static (compile-time) reconstruction configuration."""
+    vol_shape: Tuple[int, int, int]      # [z, y, x]
+    vol_spacing: Tuple[float, float, float]  # (dx, dy, dz) mm
+    offsets: np.ndarray                  # (K, 3) PSF support offsets
+    slice_spacing_xy: Tuple[float, float]
+    sigma_bias: float = 12.0
+    global_bias_correction: bool = False
+    disable_bias: bool = False
+    adaptive: bool = False
+    delta: float = 150.0
+    low_intensity_cutoff: float = 0.01
+
+    def __post_init__(self):
+        object.__setattr__(self, "offsets",
+                           np.ascontiguousarray(self.offsets, np.int32))
+
+    def __hash__(self):
+        return hash((self.vol_shape, self.vol_spacing,
+                     self.offsets.tobytes(), self.slice_spacing_xy,
+                     self.sigma_bias, self.global_bias_correction,
+                     self.disable_bias, self.adaptive, self.delta,
+                     self.low_intensity_cutoff))
+
+    def __eq__(self, other):
+        return isinstance(other, SVRContext) and hash(self) == hash(other)
+
+
+def slice_forward_matrices(recon_w2i, transforms, slice_i2w):
+    """fwd_s = reconW2I @ T_s @ sliceI2W for the whole batch.
+
+    recon_w2i: (4,4); transforms: (N,4,4); slice_i2w: (N,4,4).
+    """
+    return jnp.einsum("ij,njk,nkl->nil",
+                      jnp.asarray(recon_w2i, jnp.float32),
+                      jnp.asarray(transforms, jnp.float32),
+                      jnp.asarray(slice_i2w, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def build_geometry(ctx: SVRContext, recon_w2i, transforms, slice_i2w,
+                   slice_dims, valid):
+    """Recompute SliceGeom + PSF sums after a transform update
+    (replaces the reference's CoeffInit / on-the-fly pass 1)."""
+    fwd = slice_forward_matrices(recon_w2i, transforms, slice_i2w)
+    geom = psf_ops.make_slice_geom(fwd, slice_dims, valid)
+    sume = psf_ops.psf_sums(geom, ctx.offsets, ctx.vol_shape)
+    return geom, sume
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def gaussian_reconstruction(ctx: SVRContext, geom, sume, slices, valid,
+                            bias, scale, mask_flat):
+    """Initial PSF-weighted average volume
+    (gaussianReconstructionKernel3D_tex + equalizeVol).
+
+    Returns (recon [z,y,x], vol_weights [z,y,x], voxel_count (N,)).
+    """
+    if ctx.disable_bias:
+        s = slices * scale[:, None, None]
+    else:
+        s = robust.corrected_slice(slices, bias, scale)
+    gate = valid & (sume > 0.0)
+    p_val = jnp.where(gate, s, 0.0)
+    p_one = jnp.where(gate, 1.0, 0.0)
+    num, wts = psf_ops.psf_scatter(geom, ctx.offsets, sume, [p_val, p_one],
+                                   mask_flat, ctx.vol_shape)
+    num = num.reshape(ctx.vol_shape)
+    wts = wts.reshape(ctx.vol_shape)
+    recon = sr.equalize(num, wts)
+    # per-slice voxel count: pixels that scattered at least one voxel
+    # (sliceVoxel_count, cuda2.cu:291-294) — detected via the gather path
+    _, _, inside = psf_ops.psf_gather(geom, ctx.offsets, sume,
+                                      num.reshape(-1), mask_flat,
+                                      ctx.vol_shape)
+    voxel_count = jnp.sum(inside, axis=(1, 2))
+    return recon, wts, voxel_count
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def simulate(ctx: SVRContext, geom, sume, recon, mask_flat):
+    """Forward-project the current volume (SimulateSlices)."""
+    sim, simw, inside = psf_ops.psf_gather(geom, ctx.offsets, sume,
+                                           recon.reshape(-1), mask_flat,
+                                           ctx.vol_shape)
+    slice_inside = jnp.any(inside, axis=(1, 2))
+    return SimState(sim=sim, simw=simw, inside=inside,
+                    slice_inside=slice_inside)
+
+
+def init_em_state(n_slices: int, valid) -> EMState:
+    """InitializeEMValues (.cc:2955): weights 1 on valid pixels, bias 0,
+    scales 1, slice weights 1; robust-stat scalars at reference defaults."""
+    return EMState(
+        weights=jnp.where(valid, 1.0, 0.0).astype(jnp.float32),
+        bias=jnp.zeros(valid.shape, jnp.float32),
+        scale=jnp.ones((n_slices,), jnp.float32),
+        slice_weight=jnp.ones((n_slices,), jnp.float32),
+        sigma2=jnp.asarray(0.0, jnp.float32),
+        m=jnp.asarray(0.0, jnp.float32),
+        mix=jnp.asarray(0.9, jnp.float32),
+        mix_s=jnp.asarray(0.9, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def initialize_robust_statistics(ctx: SVRContext, slices, valid, sim_state,
+                                 em: EMState, max_intensity, min_intensity,
+                                 excluded):
+    """InitializeRobustStatistics (.cc:3022-3069) + slice-inside zeroing."""
+    sigma2, _ = robust.init_robust_stats(slices, valid, sim_state.sim,
+                                         sim_state.simw, sim_state.inside)
+    m = 1.0 / (2.1 * max_intensity - 1.9 * min_intensity)
+    slice_weight = jnp.where(sim_state.slice_inside & ~excluded,
+                             em.slice_weight, 0.0)
+    return em._replace(sigma2=sigma2.astype(jnp.float32),
+                       m=m.astype(jnp.float32),
+                       mix=jnp.asarray(0.9, jnp.float32),
+                       mix_s=jnp.asarray(0.9, jnp.float32),
+                       slice_weight=slice_weight)
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def estep(ctx: SVRContext, slices, valid, sume, sim_state, em: EMState,
+          excluded):
+    """Voxel + slice E-step (EStepGPU, .cc:3184-3440).
+
+    excluded: (N,) bool — force-excluded or small slices; scale-based
+    exclusion (scale < 0.2 or > 5) is applied here too.
+    """
+    weights, potential = robust.voxel_estep(
+        slices, valid & (sume > 0), em.bias, em.scale, sim_state.sim,
+        sim_state.simw, em.sigma2, em.m, em.mix)
+    bad_scale = (em.scale < 0.2) | (em.scale > 5.0)
+    potential = jnp.where(excluded | bad_scale, -1.0, potential)
+    slice_weight, stats = robust.slice_estep(potential, em.slice_weight,
+                                             em.mix_s)
+    return em._replace(weights=weights, slice_weight=slice_weight,
+                       mix_s=stats["mix_s"]), potential
+
+
+@partial(jax.jit, static_argnames=("ctx", "iteration"))
+def mstep(ctx: SVRContext, slices, valid, sume, sim_state, em: EMState,
+          iteration: int):
+    sigma2, mix, m = robust.mstep(
+        slices, valid & (sume > 0), em.bias, em.scale, em.weights,
+        sim_state.sim, sim_state.simw, iteration, em.mix)
+    return em._replace(sigma2=sigma2.astype(jnp.float32),
+                       mix=mix.astype(jnp.float32), m=m.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def scale_step(ctx: SVRContext, slices, valid, sume, sim_state, em: EMState):
+    scale = robust.scale_step(slices, valid & (sume > 0), em.bias,
+                              em.weights, sim_state.sim, sim_state.simw)
+    return em._replace(scale=scale)
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def bias_step(ctx: SVRContext, slices, valid, sume, sim_state, em: EMState):
+    b = bias_mod.bias_step(slices, valid & (sume > 0), em.bias, em.scale,
+                           em.weights, sim_state.sim, sim_state.simw,
+                           ctx.sigma_bias, ctx.slice_spacing_xy,
+                           ctx.global_bias_correction)
+    return em._replace(bias=b)
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def superresolution_step(ctx: SVRContext, geom, sume, slices, valid,
+                         em: EMState, sim_state, recon, mask_flat,
+                         alpha, lambda_, min_intensity, max_intensity):
+    """One SR update: scatter residuals, addon step, regularization."""
+    addon, cmap = sr.sr_accumulate(
+        geom, ctx.offsets, sume, slices, valid, em.bias, em.scale,
+        em.weights, em.slice_weight, sim_state.sim, mask_flat,
+        ctx.vol_shape, ctx.disable_bias)
+    original = recon
+    recon, cmap = sr.apply_addon(recon, addon, cmap, alpha, min_intensity,
+                                 max_intensity, ctx.adaptive)
+    recon = sr.adaptive_regularization(recon, original, cmap, alpha,
+                                       lambda_, ctx.delta)
+    return recon, cmap
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def normalise_bias_step(ctx: SVRContext, geom, sume, valid, em: EMState,
+                        recon, vol_weights, mask, mask_flat):
+    recon, _ = bias_mod.normalise_bias(
+        geom, ctx.offsets, sume, valid, em.bias, em.scale, recon,
+        vol_weights, mask, mask_flat, ctx.vol_shape, ctx.sigma_bias,
+        ctx.vol_spacing)
+    return recon

@@ -1,0 +1,99 @@
+"""Synthetic phantom generation for end-to-end tests and benchmarks.
+
+The bundled reference data contains only the brain mask (stacks are
+downloaded separately upstream), so tests synthesize a ground-truth volume
+and derive motion-corrupted thick-slice stacks from it through the same
+PSF forward model the reconstructor inverts.
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from fetalreconstruction_tpu.core.geometry import (ImageAttributes,
+                                                   rigid_matrix)
+from fetalreconstruction_tpu.core.image import Image
+from fetalreconstruction_tpu.ops import psf as psf_ops
+from fetalreconstruction_tpu.pipeline.state import create_slices
+from fetalreconstruction_tpu.pipeline import svr_core
+
+
+def make_ground_truth(n=36, spacing=1.5):
+    """Smooth structured GT volume: ellipsoid 'head' with internal blobs."""
+    a = ImageAttributes(x=n, y=n, z=n, dx=spacing, dy=spacing, dz=spacing)
+    z, y, x = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing="ij")
+    r = np.sqrt(x ** 2 + 1.2 * y ** 2 + 1.1 * z ** 2)
+    vol = np.where(r < 0.85, 60.0 + 40.0 * np.cos(3 * np.pi * r), 0.0)
+    blob = 30.0 * np.exp(-(((x - 0.3) ** 2 + (y + 0.2) ** 2 + z ** 2)
+                           / 0.05))
+    vol = (vol + blob).astype(np.float32)
+    return Image(vol, a)
+
+
+def make_stack_attr(gt: Image, rot_deg, in_plane=2.0, dz=3.0):
+    """Stack grid covering the GT extent, with its own spacing."""
+    ext = np.array([gt.attr.x * gt.attr.dx, gt.attr.y * gt.attr.dy,
+                    gt.attr.z * gt.attr.dz])
+    a = ImageAttributes(x=int(ext[0] / in_plane), y=int(ext[1] / in_plane),
+                        z=int(ext[2] / dz), dx=in_plane, dy=in_plane, dz=dz)
+    a.xorigin, a.yorigin, a.zorigin = (gt.attr.xorigin, gt.attr.yorigin,
+                                       gt.attr.zorigin)
+    return a
+
+
+def simulate_stacks(gt: Image, n_stacks=2, thickness=None, in_plane=2.0,
+                    dz=3.0, motions=None, noise=0.0, seed=0):
+    """Forward-simulate thick-slice stacks from GT through the PSF model.
+
+    motions: list of per-stack 6-param rigid motions (slice transform).
+    Returns (stacks, true_transforms_per_stack).
+    """
+    rng = np.random.default_rng(seed)
+    stacks, transforms = [], []
+    for s in range(n_stacks):
+        rot = [0, 0, 0, 0, 0, 0] if motions is None else motions[s]
+        attr = make_stack_attr(gt, rot, in_plane, dz)
+        t = rigid_matrix(rot)
+        th = thickness or 2 * dz
+        stack_img = Image(np.zeros(attr.shape_zyx, np.float32), attr)
+        batch = create_slices([stack_img], [th])
+        fwd = np.einsum("ij,jk,nkl->nil", gt.attr.w2i(), t, batch.i2w)
+        geom = psf_ops.make_slice_geom(jnp.asarray(fwd, jnp.float32),
+                                       jnp.asarray(batch.dims),
+                                       jnp.ones(batch.data.shape, bool))
+        support = psf_ops.reference_support(batch.dims, gt.attr.dx, 1.0)
+        offsets = psf_ops.make_offsets(support)
+        sume = psf_ops.psf_sums(geom, offsets, gt.attr.shape_zyx)
+        sim, simw, inside = psf_ops.psf_gather(
+            geom, offsets, sume, jnp.asarray(gt.data).reshape(-1),
+            jnp.ones(gt.data.size, jnp.float32), gt.attr.shape_zyx)
+        data = np.asarray(sim).reshape(attr.z, attr.y, attr.x)
+        if noise > 0:
+            data = data + rng.normal(0, noise, data.shape)
+        stacks.append(Image(np.maximum(data, 0).astype(np.float32), attr))
+        transforms.append(t)
+    return stacks, transforms
+
+
+def mask_slices(batch, threshold=1.0):
+    """Set near-empty background pixels to -1 padding, mimicking
+    irtkReconstruction::MaskSlices (outside-mask voxels -> -1)."""
+    batch.data[batch.data < threshold] = -1.0
+    return batch
+
+
+def recon_mask(gt, dilate_vox=2):
+    from scipy import ndimage
+    m = (gt.data > 1.0)
+    if dilate_vox:
+        m = ndimage.binary_dilation(m, iterations=dilate_vox)
+    return m.astype(np.float32)
+
+
+def psnr(a, b, mask=None):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if mask is not None:
+        a, b = a[mask], b[mask]
+    mse = np.mean((a - b) ** 2)
+    peak = b.max() - b.min()
+    return 10 * np.log10(peak * peak / max(mse, 1e-12))

@@ -1,0 +1,89 @@
+"""Batched rigid gradient-descent optimizer (shared engine).
+
+The reference implements this optimizer twice — on CPU
+(irtkGradientDescentOptimizer.cc driven by irtkImageRegistration::Run) and
+on GPU (registerMultipleSlicesToVolume, reconstruction_cuda2.cu:4001-4147).
+Both share the same structure, reproduced here once, vectorized over a
+batch of independent rigid problems advancing in lock-step with active
+masks:
+
+  for each step-size round (step halved each round):
+    for each iteration (up to cfg.iterations):
+      sim0 = cost(params)
+      grad[p] = cost(params + step e_p) - cost(params - step e_p)  (6 dims)
+      grad /= ||grad||
+      while any active slice improves by > eps: params += step * grad
+      (implicit backtrack: failed trials are not applied)
+      deactivate problems with no improvement this iteration
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    steps: int = 4
+    iterations: int = 20
+    epsilon: float = 1e-4
+    max_linesearch: int = 16
+
+
+def optimize_level(cfg: OptimizerConfig, cost: Callable, params0, step0):
+    """Run the full step-halving schedule at one pyramid level.
+
+    cost: (N,6) params -> (N,) similarity (maximized).
+    Returns (params (N,6), similarity (N,)).
+    """
+    n = params0.shape[0]
+    eye6 = jnp.eye(6, dtype=params0.dtype)
+
+    def step_round(carry, step_size):
+        params, _ = carry
+
+        def grad_iter(carry2, _):
+            params, active, _ = carry2
+            sim0 = cost(params)
+            grads = []
+            for p in range(6):
+                sp = cost(params + step_size * eye6[p][None, :])
+                sm = cost(params - step_size * eye6[p][None, :])
+                grads.append(sp - sm)
+            grad = jnp.stack(grads, axis=-1)
+            norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
+            grad = jnp.where(norm > 0, grad / jnp.maximum(norm, 1e-30), 0.0)
+
+            def ls_cond(state):
+                _, _, ls_active, it = state
+                return jnp.any(ls_active) & (it < cfg.max_linesearch)
+
+            def ls_body(state):
+                prms, best, ls_active, it = state
+                trial = prms + step_size * grad * ls_active[:, None]
+                sim_new = cost(trial)
+                improved = ls_active & (sim_new > best + cfg.epsilon)
+                prms = jnp.where(improved[:, None], trial, prms)
+                best = jnp.where(improved, sim_new, best)
+                return prms, best, improved, it + 1
+
+            params, best, _, _ = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (params, sim0, active, jnp.zeros((), jnp.int32)))
+            active = active & (best > sim0 + cfg.epsilon)
+            return (params, active, best), None
+
+        active0 = jnp.ones((n,), bool)
+        (params, _, best), _ = jax.lax.scan(
+            grad_iter, (params, active0, jnp.zeros((n,), params0.dtype)),
+            None, length=cfg.iterations)
+        return (params, best), None
+
+    steps = jnp.asarray([step0 / (2.0 ** s) for s in range(cfg.steps)],
+                        params0.dtype)
+    (params, sim), _ = jax.lax.scan(
+        step_round, (params0, jnp.zeros((n,), params0.dtype)), steps)
+    return params, sim

@@ -1,0 +1,222 @@
+"""Rigid 3D-3D volumetric registration (multi-resolution pyramid, CC/NMI).
+
+Reimplements the IRTK registration stack used by the reference for
+stack-to-template and package-to-volume alignment:
+- irtkImageRegistration::Run (irtkImageRegistration.cc:414-520): per level
+  blur + resample both images, then gradient-descent with step halving;
+- irtkImageRigidRegistrationWithPadding::GuessParameterThickSlices /
+  ...NMI / GuessParameterSliceToVolume
+  (irtkImageRigidRegistrationWithPadding.cc:110-404): 3 levels, 64 bins,
+  CC (or NMI) metric, blur sigma = inplane/2 * 2^l, in-plane resolution
+  doubled per level (z kept), 20 iterations x 4 steps, step 2 * 2^l;
+- similarity on the overlap: target raster voxels != padding whose
+  transformed position samples the source without padding
+  (irtkImageRigidRegistrationWithPadding::Evaluate);
+- CC = (Sxy - Sx Sy/n) / sqrt((Sxx - Sx^2/n)(Syy - Sy^2/n)) (the
+  irtkCrossCorrelationSimilarityMetric accumulator form);
+- NMI = (H(target) + H(source)) / H(target, source) from a 64x64 joint
+  histogram of intensities rescaled per level.
+
+The optimizer itself is the shared batched engine (optimizer.py) — a batch
+of independent targets (stacks, packages) registers in lock-step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import ImageAttributes, rigid_matrix_jax
+from ..core.image import Image
+from ..ops.gaussian import gaussian_blur_padded
+from ..ops.sampling import resample_to_grid, sample_linear_padded
+from .optimizer import OptimizerConfig, optimize_level
+from .slice2vol import matrix_to_params_jax
+
+
+@dataclasses.dataclass(frozen=True)
+class VolRegConfig:
+    levels: int = 3
+    bins: int = 64
+    metric: str = "cc"           # "cc" | "nmi"
+    iterations: int = 20
+    steps: int = 4
+    step0: float = 2.0           # _LengthOfSteps[l] = 2 * 2^l
+    epsilon: float = 1e-4
+    max_linesearch: int = 16
+    blur_z: bool = False         # thick-slice presets keep z resolution
+    source_iso: bool = False     # SliceToVolume preset: source resampled
+                                 # isotropic and doubled per level in z too
+
+
+def guess_padding(data: np.ndarray) -> float:
+    """Corner-based padding guess
+    (irtkImageRigidRegistrationWithPadding.cc:380-403): if all 8 corners
+    share one value, that value is padding; else -32768 (MIN_GREY)."""
+    corners = [data[z, y, x] for z in (0, -1) for y in (0, -1)
+               for x in (0, -1)]
+    if all(c == corners[0] for c in corners):
+        return float(corners[0])
+    return -32768.0
+
+
+def _pyramid_level(img: Image, level: int, padding: float,
+                   blur_z: bool, iso: bool = False) -> Image:
+    """Blur + resample one level (irtkImageRegistration::Initialize(level)).
+
+    Level 0 uses blur sigma = inplane/2 and resolution = (inplane, inplane,
+    dz); each further level doubles blur and in-plane resolution.  With
+    iso=True (GuessParameterSliceToVolume source preset) the level-0
+    resolution is min(dx, dy, dz) isotropic and z doubles per level too.
+    """
+    a = img.attr
+    size = min(a.dx, a.dy, a.dz) if iso else min(a.dx, a.dy)
+    sigma = (size / 2.0) * (2.0 ** level)
+    res = size * (2.0 ** level)
+    data = jnp.asarray(img.data)
+    data = gaussian_blur_padded(data, sigma,
+                                (a.dx, a.dy, a.dz if blur_z else 1e30),
+                                padding=padding)
+    dst = a.with_spacing(res, res, res if iso else a.dz)
+    out = resample_to_grid(data, jnp.asarray(a.w2i(), jnp.float32),
+                           dst.shape_zyx, jnp.asarray(dst.i2w(), jnp.float32),
+                           interp="linear", source_padding=padding)
+    return Image(np.asarray(out), dst)
+
+
+def _cc_metric(t, s, ok):
+    n = jnp.sum(ok, axis=tuple(range(1, t.ndim)))
+    tv = jnp.where(ok, t, 0.0)
+    sv = jnp.where(ok, s, 0.0)
+    sx = jnp.sum(tv, axis=tuple(range(1, t.ndim)))
+    sy = jnp.sum(sv, axis=tuple(range(1, t.ndim)))
+    sxy = jnp.sum(tv * sv, axis=tuple(range(1, t.ndim)))
+    sxx = jnp.sum(tv * tv, axis=tuple(range(1, t.ndim)))
+    syy = jnp.sum(sv * sv, axis=tuple(range(1, t.ndim)))
+    nn = jnp.maximum(n, 1)
+    num = sxy - sx * sy / nn
+    den = (sxx - sx * sx / nn) * (syy - sy * sy / nn)
+    return jnp.where(den > 0, num / jnp.sqrt(jnp.maximum(den, 1e-30)), 0.0)
+
+
+def _nmi_metric(t_bin, s_bin, ok, bins: int):
+    """NMI from a joint histogram of pre-binned intensities.
+
+    t_bin/s_bin: int32 bin indices; ok: valid-pair mask.
+    """
+    batch = t_bin.shape[0]
+    flatt = t_bin.reshape(batch, -1)
+    flats = s_bin.reshape(batch, -1)
+    okf = ok.reshape(batch, -1)
+    lin = jnp.where(okf, flatt * bins + flats, bins * bins)
+
+    def hist_one(linrow):
+        h = jnp.zeros((bins * bins + 1,), jnp.float32)
+        h = h.at[linrow].add(1.0)
+        return h[:bins * bins].reshape(bins, bins)
+
+    joint = jax.vmap(hist_one)(lin)
+    n = jnp.maximum(jnp.sum(joint, axis=(1, 2)), 1.0)
+    p = joint / n[:, None, None]
+    px = jnp.sum(p, axis=2)
+    py = jnp.sum(p, axis=1)
+
+    def ent(q, axes):
+        return -jnp.sum(jnp.where(q > 0, q * jnp.log(jnp.maximum(q, 1e-30)),
+                                  0.0), axis=axes)
+
+    hx = ent(px, (1,))
+    hy = ent(py, (1,))
+    hxy = ent(p, (1, 2))
+    return jnp.where(hxy > 0, (hx + hy) / jnp.maximum(hxy, 1e-30), 0.0)
+
+
+def _rescale_for_bins(data, padding, bins):
+    """Rescale valid intensities to [0, bins-1] (irtkImageRegistration
+    Initialize rescales to _NumberOfBins)."""
+    ok = data > padding
+    lo = jnp.min(jnp.where(ok, data, jnp.inf))
+    hi = jnp.max(jnp.where(ok, data, -jnp.inf))
+    rng = jnp.maximum(hi - lo, 1e-6)
+    scaled = (data - lo) / rng * (bins - 1)
+    return jnp.where(ok, scaled, -1.0)
+
+
+def register_volumes(cfg: VolRegConfig, target: Image, source: Image,
+                     init_matrix: Optional[np.ndarray] = None,
+                     target_padding: Optional[float] = None,
+                     source_padding: Optional[float] = None):
+    """Register source to target: find rigid T with target(x) ~
+    source(T(x)) (IRTK convention: T maps target world -> source world).
+
+    Returns (4x4 matrix, final similarity).
+    """
+    tp = guess_padding(target.data) if target_padding is None \
+        else target_padding
+    sp = guess_padding(source.data) if source_padding is None \
+        else source_padding
+
+    # ResetOrigin trick (StackRegistrations, irtkReconstructionGPU.cc:987):
+    # optimize with the target origin folded into the transform.
+    t_attr = target.attr.copy()
+    ox, oy, oz = t_attr.xorigin, t_attr.yorigin, t_attr.zorigin
+    t_attr.xorigin = t_attr.yorigin = t_attr.zorigin = 0.0
+    mo = np.eye(4)
+    mo[:3, 3] = [ox, oy, oz]
+    target0 = Image(target.data, t_attr)
+
+    init = np.eye(4) if init_matrix is None else np.asarray(init_matrix)
+    params = matrix_to_params_jax(
+        jnp.asarray((init @ mo)[None], jnp.float32))
+
+    sim = jnp.zeros((1,), jnp.float32)
+    for level in range(cfg.levels - 1, -1, -1):
+        tl = _pyramid_level(target0, level, tp, cfg.blur_z)
+        sl = _pyramid_level(source, level, sp, cfg.blur_z,
+                            iso=cfg.source_iso)
+        tdata = jnp.asarray(tl.data)
+        sdata = jnp.asarray(sl.data)
+        if cfg.metric == "nmi":
+            tdata = _rescale_for_bins(tdata, tp, cfg.bins)
+            sdata = _rescale_for_bins(sdata, sp, cfg.bins)
+            tpad, spad = -1.0, -1.0
+        else:
+            tpad, spad = tp, sp
+        tgt_i2w = jnp.asarray(tl.attr.i2w(), jnp.float32)
+        src_w2i = jnp.asarray(sl.attr.w2i(), jnp.float32)
+        zs, ys, xs = tl.attr.shape_zyx
+        gx = jnp.arange(xs, dtype=jnp.float32)
+        gy = jnp.arange(ys, dtype=jnp.float32)
+        gz = jnp.arange(zs, dtype=jnp.float32)
+
+        def cost(params, tdata=tdata, sdata=sdata, tgt_i2w=tgt_i2w,
+                 src_w2i=src_w2i, gx=gx, gy=gy, gz=gz, tpad=tpad,
+                 spad=spad):
+            t = rigid_matrix_jax(params)
+            m = jnp.einsum("ij,njk,kl->nil", src_w2i, t, tgt_i2w)
+            pts = (m[:, None, None, None, :3, 0] * gx[None, None, None, :, None]
+                   + m[:, None, None, None, :3, 1] * gy[None, None, :, None, None]
+                   + m[:, None, None, None, :3, 2] * gz[None, :, None, None, None]
+                   + m[:, None, None, None, :3, 3])
+            sv = jax.vmap(lambda p: sample_linear_padded(sdata, p,
+                                                         padding=spad))(pts)
+            tb = jnp.broadcast_to(tdata[None], sv.shape)
+            ok = (tb > tpad) & (sv > spad)
+            if cfg.metric == "nmi":
+                tbin = jnp.clip(tb, 0, cfg.bins - 1).astype(jnp.int32)
+                sbin = jnp.clip(sv, 0, cfg.bins - 1).astype(jnp.int32)
+                return _nmi_metric(tbin, sbin, ok, cfg.bins)
+            return _cc_metric(tb, sv, ok)
+
+        ocfg = OptimizerConfig(steps=cfg.steps, iterations=cfg.iterations,
+                               epsilon=cfg.epsilon,
+                               max_linesearch=cfg.max_linesearch)
+        params, sim = optimize_level(ocfg, jax.jit(cost), params,
+                                     cfg.step0 * (2.0 ** level))
+
+    t_new = np.asarray(rigid_matrix_jax(params))[0].astype(np.float64)
+    out = t_new @ np.linalg.inv(mo)
+    return out, float(sim[0])

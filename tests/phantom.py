@@ -17,16 +17,23 @@ from fetalreconstruction_tpu.pipeline.state import create_slices
 from fetalreconstruction_tpu.pipeline import svr_core
 
 
-def make_ground_truth(n=36, spacing=1.5):
-    """Smooth structured GT volume: ellipsoid 'head' with internal blobs."""
+def make_ground_truth(n=36, spacing=1.5, seed=7):
+    """Structured GT volume: ellipsoid 'head' with internal blobs plus
+    smooth asymmetric texture (so rotations are identifiable)."""
+    from scipy import ndimage
     a = ImageAttributes(x=n, y=n, z=n, dx=spacing, dy=spacing, dz=spacing)
     z, y, x = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing="ij")
     r = np.sqrt(x ** 2 + 1.2 * y ** 2 + 1.1 * z ** 2)
     vol = np.where(r < 0.85, 60.0 + 40.0 * np.cos(3 * np.pi * r), 0.0)
     blob = 30.0 * np.exp(-(((x - 0.3) ** 2 + (y + 0.2) ** 2 + z ** 2)
                            / 0.05))
-    vol = (vol + blob).astype(np.float32)
-    return Image(vol, a)
+    rng = np.random.default_rng(seed)
+    texture = ndimage.gaussian_filter(rng.normal(0, 1, (n, n, n)), 1.5)
+    texture = 40.0 * texture / max(np.abs(texture).max(), 1e-6)
+    vol = vol + blob + np.where(r < 0.85, texture, 0.0)
+    vol = np.maximum(vol, 0)
+    vol[vol < 0.01] = 0.0  # clean background (corner-based padding guess)
+    return Image(vol.astype(np.float32), a)
 
 
 def make_stack_attr(gt: Image, rot_deg, in_plane=2.0, dz=3.0):

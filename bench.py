@@ -1,0 +1,142 @@
+"""Benchmark: SVR EM/SR inner-iteration throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: canonical-shaped synthetic problem (4 stacks -> ~168 slices of
+144x144 at 1.25 mm in-plane / 5 mm thick, reconstructed at 1.0 mm on a
+160^3 grid) — the same shape class as the reference's bundled 4-stack 3T
+run.  One "iteration" = the full inner SR/EM step the reference times as
+Superresolution + SimulateSlices + MStep + EStep (reconstruction.cc:
+1013-1110).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the anchor
+used here is the TMI-2015-class GPU implementation finishing the 4-stack
+reconstruction (~45 inner iterations + registration) in ~5 minutes on a
+Tesla K40, i.e. roughly 0.25 inner iterations/s attributable to the EM/SR
+phase.  vs_baseline = value / 0.25.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_S = 0.25
+
+
+def build_problem(n_stacks=4, stack_slices=42, hw=144, vol=160,
+                  recon_dx=1.0, in_plane=1.25, thickness=5.0):
+    import jax.numpy as jnp
+    from fetalreconstruction_tpu.core.geometry import (ImageAttributes,
+                                                       rigid_matrix)
+    from fetalreconstruction_tpu.ops import psf as psf_ops
+    from fetalreconstruction_tpu.pipeline import svr_core
+
+    rng = np.random.default_rng(0)
+    recon_attr = ImageAttributes(x=vol, y=vol, z=vol, dx=recon_dx,
+                                 dy=recon_dx, dz=recon_dx)
+    n = n_stacks * stack_slices
+    i2w = np.zeros((n, 4, 4))
+    dims = np.tile([[in_plane, in_plane, thickness]], (n, 1))
+    rots = [[0, 0, 0, 0, 0, 0], [0, 0, 0, 90, 0, 0], [0, 0, 0, 0, 90, 0],
+            [0, 0, 0, 45, 45, 0]]
+    k = 0
+    for s in range(n_stacks):
+        t = rigid_matrix(rots[s % len(rots)])
+        for j in range(stack_slices):
+            a = ImageAttributes(x=hw, y=hw, z=1, dx=in_plane, dy=in_plane,
+                                dz=thickness)
+            a.zorigin = (j - stack_slices / 2) * thickness / 2.0
+            i2w[k] = t @ a.i2w()
+            k += 1
+    offsets = psf_ops.make_offsets(
+        psf_ops.reference_support(dims, recon_dx, 1.0, 12))
+    from fetalreconstruction_tpu.ops.psf_fast import FastPSF
+    support = psf_ops.reference_support(dims, recon_dx, 1.0, 12)
+    ranges = [(s * stack_slices, (s + 1) * stack_slices)
+              for s in range(n_stacks)]
+    a3s = [np.linalg.inv((recon_attr.w2i() @ i2w[r[0]])[:3, :3])
+           for r in ranges]
+    fast = FastPSF(np.asarray(a3s), dims[[r[0] for r in ranges]], ranges,
+                   support)
+    ctx = svr_core.SVRContext(
+        vol_shape=recon_attr.shape_zyx,
+        vol_spacing=(recon_dx,) * 3,
+        offsets=offsets, slice_spacing_xy=(in_plane, in_plane),
+        disable_bias=True,
+        fast=None if os.environ.get("BENCH_ENGINE") == "exact" else fast)
+    slices = jnp.asarray(
+        rng.uniform(100, 700, (n, hw, hw)).astype(np.float32))
+    valid = jnp.ones((n, hw, hw), bool)
+    transforms = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
+    geom, sume = svr_core.build_geometry(
+        ctx, jnp.asarray(recon_attr.w2i(), jnp.float32), transforms,
+        jnp.asarray(i2w, jnp.float32), jnp.asarray(dims, jnp.float32),
+        valid)
+    mask_flat = jnp.ones(vol ** 3, jnp.float32)
+    return ctx, dict(slices=slices, valid=valid, geom=geom, sume=sume,
+                     mask_flat=mask_flat, n=n)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fetalreconstruction_tpu.pipeline import svr_core
+
+    size = os.environ.get("BENCH_SIZE", "full")
+    if size == "small":
+        ctx, p = build_problem(n_stacks=2, stack_slices=12, hw=64, vol=64)
+    else:
+        ctx, p = build_problem()
+
+    em = svr_core.init_em_state(p["n"], p["valid"])
+    recon, wts, _ = svr_core.gaussian_reconstruction(
+        ctx, p["geom"], p["sume"], p["slices"], p["valid"], em.bias,
+        em.scale, p["mask_flat"])
+    sim = svr_core.simulate(ctx, p["geom"], p["sume"], recon,
+                            p["mask_flat"])
+    excluded = jnp.zeros((p["n"],), bool)
+    em = svr_core.initialize_robust_statistics(
+        ctx, p["slices"], p["valid"], sim, em, 700.0, 100.0, excluded)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def one_iteration(em, sim, recon):
+        em = svr_core.scale_step(ctx, p["slices"], p["valid"], p["sume"],
+                                 sim, em)
+        recon, _ = svr_core.superresolution_step(
+            ctx, p["geom"], p["sume"], p["slices"], p["valid"], em, sim,
+            recon, p["mask_flat"], 1.0, 450.0, 100.0, 700.0)
+        sim = svr_core.simulate(ctx, p["geom"], p["sume"], recon,
+                                p["mask_flat"])
+        em = svr_core.mstep(ctx, p["slices"], p["valid"], p["sume"], sim,
+                            em, 2)
+        em, _ = svr_core.estep(ctx, p["slices"], p["valid"], p["sume"],
+                               sim, em, excluded)
+        return em, sim, recon
+
+    # warmup/compile (force host sync — block_until_ready is not reliable
+    # through the axon tunnel)
+    em, sim, recon = one_iteration(em, sim, recon)
+    float(jnp.sum(recon))
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        em, sim, recon = one_iteration(em, sim, recon)
+    float(jnp.sum(recon))
+    dt = (time.perf_counter() - t0) / iters
+
+    value = 1.0 / dt
+    print(json.dumps({
+        "metric": "svr_em_sr_inner_iterations_per_s",
+        "value": round(value, 4),
+        "unit": "iterations/s",
+        "vs_baseline": round(value / BASELINE_ITERS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

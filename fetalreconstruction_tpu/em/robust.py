@@ -12,12 +12,37 @@ G(x, s) = STEP * exp(-x^2/(2s)) / sqrt(6.28 s); M(m) = m * STEP.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 STEP = 1e-4
 SIGMA_FLOOR = STEP * STEP / 6.28
+
+
+def _gsum(x, axis_name: Optional[str]):
+    """Global sum: shard-local jnp.sum plus a psum over the slices mesh
+    axis when running under shard_map (replaces the reference's
+    cross-device thrust partial sums, reconstruction_cuda2.cu:2279-2306)."""
+    s = jnp.sum(x)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
+def _gmin(x, axis_name: Optional[str]):
+    s = jnp.min(x)
+    if axis_name is not None:
+        s = jax.lax.pmin(s, axis_name)
+    return s
+
+
+def _gmax(x, axis_name: Optional[str]):
+    s = jnp.max(x)
+    if axis_name is not None:
+        s = jax.lax.pmax(s, axis_name)
+    return s
 
 
 def gauss(x, s):
@@ -30,14 +55,15 @@ def corrected_slice(slices, bias, scale):
     return slices * jnp.exp(-bias) * scale[:, None, None]
 
 
-def init_robust_stats(slices, valid, sim, simw, sim_inside):
+def init_robust_stats(slices, valid, sim, simw, sim_inside,
+                      axis_name=None):
     """Initial sigma^2 = mean squared (slice - sim) over confident voxels
     (sim_inside == 1 and simw > 0.99), matching
     InitializeRobustStatistics (.cc:3040-3060).  Returns (sigma2, num)."""
     use = valid & sim_inside & (simw > 0.99)
     e = jnp.where(use, slices - sim, 0.0)
-    num = jnp.sum(use)
-    sigma2 = jnp.sum(e * e) / jnp.maximum(num, 1)
+    num = _gsum(use, axis_name)
+    sigma2 = _gsum(e * e, axis_name) / jnp.maximum(num, 1)
     return sigma2, num
 
 
@@ -63,7 +89,7 @@ def voxel_estep(slices, valid, bias, scale, sim, simw,
     return weights, potential
 
 
-def slice_mixture(potential, slice_weight, sigma_s2_prev_floor=None):
+def slice_mixture(potential, slice_weight, axis_name=None):
     """Slice-level two-Gaussian mixture -> new slice weights + parameters.
 
     Faithful to EStepGPU (.cc:3284-3440): weighted means/variances of the
@@ -80,19 +106,19 @@ def slice_mixture(potential, slice_weight, sigma_s2_prev_floor=None):
     wo = jnp.where(ok, 1.0 - slice_weight, 0.0)
     p = jnp.where(ok, potential, 0.0)
 
-    den = jnp.sum(w)
-    den2 = jnp.sum(wo)
-    sum1 = jnp.sum(p * w)
-    sum2 = jnp.sum(p * wo)
-    maxs = jnp.max(jnp.where(ok, potential, 0.0))
-    mins = jnp.min(jnp.where(ok, potential, 1.0))
+    den = _gsum(w, axis_name)
+    den2 = _gsum(wo, axis_name)
+    sum1 = _gsum(p * w, axis_name)
+    sum2 = _gsum(p * wo, axis_name)
+    maxs = _gmax(jnp.where(ok, potential, 0.0), axis_name)
+    mins = _gmin(jnp.where(ok, potential, 1.0), axis_name)
 
     mean_s = jnp.where(den > 0, sum1 / jnp.maximum(den, 1e-30), mins)
     mean_s2 = jnp.where(den2 > 0, sum2 / jnp.maximum(den2, 1e-30),
                         (maxs + mean_s) / 2.0)
 
-    vsum1 = jnp.sum((p - mean_s) ** 2 * w)
-    vsum2 = jnp.sum((p - mean_s2) ** 2 * wo)
+    vsum1 = _gsum((p - mean_s) ** 2 * w, axis_name)
+    vsum2 = _gsum((p - mean_s2) ** 2 * wo, axis_name)
     sigma_s = jnp.where((vsum1 > 0) & (den > 0),
                         jnp.maximum(vsum1 / jnp.maximum(den, 1e-30),
                                     SIGMA_FLOOR),
@@ -111,10 +137,10 @@ def slice_mixture(potential, slice_weight, sigma_s2_prev_floor=None):
     return ok, gs1, gs2, mean_s, mean_s2, sigma_s, sigma_s2, den
 
 
-def slice_estep(potential, slice_weight, mix_s):
+def slice_estep(potential, slice_weight, mix_s, axis_name=None):
     """Full slice-level E-step: returns (new_slice_weight, stats dict)."""
     ok, gs1, gs2, mean_s, mean_s2, sigma_s, sigma_s2, den = \
-        slice_mixture(potential, slice_weight)
+        slice_mixture(potential, slice_weight, axis_name)
     likelihood = gs1 * mix_s + gs2 * (1.0 - mix_s)
     post = jnp.where(likelihood > 0,
                      gs1 * mix_s / jnp.maximum(likelihood, 1e-30),
@@ -124,9 +150,9 @@ def slice_estep(potential, slice_weight, mix_s):
     degenerate = (den <= 0) | (mean_s2 <= mean_s)
     new_w = jnp.where(ok, jnp.where(degenerate, 1.0, post), 0.0)
     # mix_s update: mean of new weights over valid slices
-    nvalid = jnp.sum(ok)
+    nvalid = _gsum(ok, axis_name)
     mix_s_new = jnp.where(nvalid > 0,
-                          jnp.sum(jnp.where(ok, new_w, 0.0))
+                          _gsum(jnp.where(ok, new_w, 0.0), axis_name)
                           / jnp.maximum(nvalid, 1), 0.9)
     stats = dict(mean_s=mean_s, mean_s2=mean_s2, sigma_s=sigma_s,
                  sigma_s2=sigma_s2, mix_s=mix_s_new)
@@ -134,7 +160,7 @@ def slice_estep(potential, slice_weight, mix_s):
 
 
 def mstep(slices, valid, bias, scale, weights, sim, simw, iteration,
-          mix_prev):
+          mix_prev, axis_name=None):
     """Voxel-level M-step (ParallelMStep, .cc:4121-4211 + MStep 4226-4260).
 
     Returns (sigma2, mix, m).  mix is only updated when iteration > 1.
@@ -142,11 +168,11 @@ def mstep(slices, valid, bias, scale, weights, sim, simw, iteration,
     s = corrected_slice(slices, bias, scale)
     use = valid & (simw > 0.99)
     e = jnp.where(use, s - sim, 0.0)
-    sigma_sum = jnp.sum(e * e * weights * use)
-    mix_sum = jnp.sum(weights * use)
-    num = jnp.sum(use)
-    emin = jnp.min(jnp.where(use, e, 0.0))
-    emax = jnp.max(jnp.where(use, e, 0.0))
+    sigma_sum = _gsum(e * e * weights * use, axis_name)
+    mix_sum = _gsum(weights * use, axis_name)
+    num = _gsum(use, axis_name)
+    emin = _gmin(jnp.where(use, e, 0.0), axis_name)
+    emax = _gmax(jnp.where(use, e, 0.0), axis_name)
     sigma2 = jnp.maximum(sigma_sum / jnp.maximum(mix_sum, 1e-30), SIGMA_FLOOR)
     mix = jnp.where(iteration > 1, mix_sum / jnp.maximum(num, 1), mix_prev)
     m = 1.0 / jnp.maximum(emax - emin, 1e-30)
@@ -165,13 +191,14 @@ def scale_step(slices, valid, bias, weights, sim, simw):
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 1.0)
 
 
-def scale_volume_factor(slices, valid, weights, slice_weight, sim, simw):
+def scale_volume_factor(slices, valid, weights, slice_weight, sim, simw,
+                        axis_name=None):
     """Global volume rescale factor (ScaleVolumeKernel,
     reconstruction_cuda2.cu:3386-3413): sum(w * sw * s * sim) /
     sum(w * sw * sim^2) over confident voxels, with the RAW slice value
     (no bias/scale correction — both reference paths agree on this)."""
     use = valid & (simw > 0.99)
     sw = slice_weight[:, None, None]
-    num = jnp.sum(jnp.where(use, weights * sw * slices * sim, 0.0))
-    den = jnp.sum(jnp.where(use, weights * sw * sim * sim, 0.0))
+    num = _gsum(jnp.where(use, weights * sw * slices * sim, 0.0), axis_name)
+    den = _gsum(jnp.where(use, weights * sw * sim * sim, 0.0), axis_name)
     return num / jnp.maximum(den, 1e-30)

@@ -1,0 +1,50 @@
+"""Reconstruction configuration (mirrors the reference CLI defaults).
+
+Defaults replicate reconstruction.cc:92-157 (SVR) and
+patchBasedReconMain.cpp:110-135 (PVR).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class SVRConfig:
+    # inputs
+    output: str = "3TReconstruction.nii.gz"
+    input_stacks: List[str] = dataclasses.field(default_factory=list)
+    mask: Optional[str] = None
+    transformation_files: List[str] = dataclasses.field(default_factory=list)
+    thickness: List[float] = dataclasses.field(default_factory=list)
+    packages: List[int] = dataclasses.field(default_factory=list)
+
+    # reconstruction parameters (reference defaults)
+    iterations: int = 9
+    sigma: float = 20.0                 # bias field sigma (mm)
+    resolution: float = 0.75
+    multires_levels: int = 3            # --multires
+    average_value: float = 700.0        # --average
+    delta: float = 150.0
+    lambda_: float = 0.02
+    last_iter_lambda: float = 0.01
+    smooth_mask: float = 4.0
+    global_bias_correction: bool = False
+    low_intensity_cutoff: float = 0.01
+    intensity_matching: bool = True
+    rec_iterations_first: int = 4
+    rec_iterations_last: int = 13
+    disable_bias_correction: bool = True   # reference default (cc:121)
+    template_number: int = 0
+    use_nmi: bool = False
+    force_excluded: List[int] = dataclasses.field(default_factory=list)
+    quality_factor: float = 1.0
+    debug: bool = False
+    log_prefix: str = ""
+    save_slice_transformations: bool = False
+
+    # engine knobs (TPU-side, no reference analog)
+    engine: str = "fast"          # "fast" (TPU conv+trilinear) | "exact"
+    max_psf_support: int = 12
+    reg_levels: int = 2
+    reg_iterations: int = 20

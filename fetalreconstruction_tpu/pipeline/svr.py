@@ -1,0 +1,428 @@
+"""Full SVR pipeline orchestrator.
+
+Reimplements the reference SVR application flow (reconstruction.cc:70-1301
+/ SURVEY.md §3.1) on top of the jitted svr_core graph:
+
+  mask prep -> template crop -> CreateTemplate -> SetMask ->
+  StackRegistrations -> per-stack mask crop -> StackRegistrations ->
+  MatchStackIntensitiesWithMasking -> CreateSlicesAndTransformations ->
+  MaskSlices -> outer loop {registration schedule, smoothing schedule,
+  GaussianReconstruction, SimulateSlices, InitializeRobustStatistics,
+  EStep, inner SR loop} -> RestoreSliceIntensities -> ScaleVolume.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import ImageAttributes, invert_rigid
+from ..core.image import Image
+from ..io.nifti import read_nifti, write_nifti
+from ..ops import psf as psf_ops
+from ..ops.gaussian import gaussian_blur
+from ..ops.sampling import resample_to_grid
+from ..register import slice2vol as s2v
+from ..register.package import package_to_volume
+from ..register.prepare import prepare_registration_slices
+from ..register.stack import stack_registrations
+from ..sr.superresolution import mask_volume, smoothing_parameters
+from ..utils.perfstats import PerfStats
+from . import svr_core
+from .config import SVRConfig
+from .state import SliceBatch, create_slices
+
+
+# ---------------------------------------------------------------------------
+# host-side preparation steps (reference L5/L6)
+# ---------------------------------------------------------------------------
+
+def create_mask_from_overlap(stacks: List[Image]) -> Image:
+    """Mask = voxels of stack[0]'s grid inside EVERY stack's FOV
+    (CreateMaskFromOverlap, irtkReconstructionGPU.cc:696)."""
+    base = stacks[0]
+    zs, ys, xs = base.attr.shape_zyx
+    z, y, x = np.meshgrid(np.arange(zs), np.arange(ys), np.arange(xs),
+                          indexing="ij")
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float64)
+    w = base.attr.image_to_world(pts)
+    inside = np.ones(len(w), bool)
+    for st in stacks:
+        p = st.attr.world_to_image(w)
+        inside &= ((p[:, 0] >= 0) & (p[:, 0] < st.attr.x)
+                   & (p[:, 1] >= 0) & (p[:, 1] < st.attr.y)
+                   & (p[:, 2] >= 0) & (p[:, 2] < st.attr.z))
+    return Image(inside.reshape(zs, ys, xs).astype(np.float32),
+                 base.attr.copy())
+
+
+def transform_mask(image: Image, mask: Image,
+                   transform: np.ndarray) -> Image:
+    """NN-resample the mask onto `image`'s grid through `transform`
+    (stack world -> mask/template world), filling 0 outside
+    (TransformMask, .cc:805)."""
+    m = mask.attr.w2i() @ transform @ image.attr.i2w()
+    out = resample_to_grid(jnp.asarray(mask.data),
+                           jnp.asarray(mask.attr.w2i() @ transform,
+                                       jnp.float32),
+                           image.attr.shape_zyx,
+                           jnp.asarray(image.attr.i2w(), jnp.float32),
+                           interp="nn", padding=0.0)
+    return Image(np.asarray(out), image.attr.copy())
+
+
+def crop_image(image: Image, mask: Image) -> Image:
+    """Crop to the inclusive bounding box of mask > 0 (CropImage,
+    .cc:5205)."""
+    nz = np.nonzero(mask.data > 0)
+    if len(nz[0]) == 0:
+        raise ValueError("empty mask - cannot crop")
+    z1, z2 = int(nz[0].min()), int(nz[0].max())
+    y1, y2 = int(nz[1].min()), int(nz[1].max())
+    x1, x2 = int(nz[2].min()), int(nz[2].max())
+    return image.get_region(x1, y1, z1, x2 + 1, y2 + 1, z2 + 1)
+
+
+def create_template(stack: Image, resolution: float) -> ImageAttributes:
+    """Reconstruction grid = template stack enlarged by 2 slices in z and
+    NN-resampled to isotropic `resolution` (CreateTemplate, .cc:648)."""
+    a = stack.attr.copy()
+    a.z += 2
+    if resolution <= 0:
+        resolution = min(a.dx, a.dy, a.dz)
+    return a.with_spacing(resolution, resolution, resolution)
+
+
+def set_mask(mask: Optional[Image], recon_attr: ImageAttributes,
+             sigma: float, threshold: float = 0.5) -> Image:
+    """Smooth+binarize the mask and NN-resample to the recon grid
+    (SetMask, .cc:750)."""
+    if mask is None:
+        return Image(np.ones(recon_attr.shape_zyx, np.float32),
+                     recon_attr.copy())
+    data = jnp.asarray(mask.data)
+    if sigma > 0:
+        data = gaussian_blur(data, sigma, mask.attr.spacing)
+        data = (data > threshold).astype(jnp.float32)
+    out = resample_to_grid(data, jnp.asarray(mask.attr.w2i(), jnp.float32),
+                           recon_attr.shape_zyx,
+                           jnp.asarray(recon_attr.i2w(), jnp.float32),
+                           interp="nn", padding=0.0)
+    return Image(np.asarray(out), recon_attr.copy())
+
+
+def match_stack_intensities(stacks: List[Image],
+                            stack_transforms: np.ndarray, mask: Image,
+                            average_value: float,
+                            together: bool = False):
+    """Per-stack intensity factors (MatchStackIntensitiesWithMasking,
+    .cc:1375): factor = averageValue / mean(stack values at voxels whose
+    transformed position rounds into mask == 1).  Rescales in place
+    (only values > 0) and returns the factors."""
+    averages = []
+    for st, t in zip(stacks, stack_transforms):
+        zs, ys, xs = st.attr.shape_zyx
+        z, y, x = np.meshgrid(np.arange(zs), np.arange(ys), np.arange(xs),
+                              indexing="ij")
+        pts = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float64)
+        w = st.attr.image_to_world(pts)
+        w = w @ np.asarray(t)[:3, :3].T + np.asarray(t)[:3, 3]
+        p = np.round(mask.attr.world_to_image(w)).astype(int)
+        inb = ((p[:, 0] >= 0) & (p[:, 0] < mask.attr.x)
+               & (p[:, 1] >= 0) & (p[:, 1] < mask.attr.y)
+               & (p[:, 2] >= 0) & (p[:, 2] < mask.attr.z))
+        pc = np.clip(p, 0, [mask.attr.x - 1, mask.attr.y - 1,
+                            mask.attr.z - 1])
+        mval = mask.data[pc[:, 2], pc[:, 1], pc[:, 0]]
+        use = inb & (mval == 1)
+        vals = st.data.reshape(-1)[use]
+        if len(vals) == 0:
+            raise ValueError("stack has no overlap with ROI")
+        averages.append(float(vals.mean()))
+    factors = []
+    if together:
+        ga = float(np.mean(averages))
+        factors = [average_value / ga] * len(stacks)
+    else:
+        factors = [average_value / a for a in averages]
+    for st, f in zip(stacks, factors):
+        st.data[st.data > 0] *= f
+    return np.asarray(factors, np.float32)
+
+
+def mask_slices(batch: SliceBatch, transforms: np.ndarray,
+                mask: Image) -> None:
+    """Outside-mask or near-zero slice pixels -> -1 (MaskSlices,
+    .cc:1940).  Mutates batch.data."""
+    n, h, w = batch.data.shape
+    for i in range(n):
+        a = batch.attrs[i]
+        ys, xs = np.meshgrid(np.arange(a.y), np.arange(a.x), indexing="ij")
+        pts = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1, 3)
+        wpt = a.image_to_world(pts.astype(np.float64))
+        t = transforms[i]
+        wpt = wpt @ t[:3, :3].T + t[:3, 3]
+        p = np.round(mask.attr.world_to_image(wpt)).astype(int)
+        inb = ((p[:, 0] >= 0) & (p[:, 0] < mask.attr.x)
+               & (p[:, 1] >= 0) & (p[:, 1] < mask.attr.y)
+               & (p[:, 2] >= 0) & (p[:, 2] < mask.attr.z))
+        pc = np.clip(p, 0, [mask.attr.x - 1, mask.attr.y - 1,
+                            mask.attr.z - 1])
+        mval = mask.data[pc[:, 2], pc[:, 1], pc[:, 0]]
+        keep = inb & (mval != 0)
+        sl = batch.data[i, :a.y, :a.x].reshape(-1)
+        sl[sl < 0.01] = -1.0
+        sl[~keep] = -1.0
+        batch.data[i, :a.y, :a.x] = sl.reshape(a.y, a.x)
+
+
+# ---------------------------------------------------------------------------
+# the full pipeline
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SVRResult:
+    reconstructed: Image
+    transforms: np.ndarray          # (N,4,4) final slice transforms
+    slice_weights: np.ndarray       # (N,)
+    stack_factors: np.ndarray
+    stats: PerfStats
+    excluded_slices: List[int]
+
+
+def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
+            mask: Optional[Image] = None,
+            slice_factory=None) -> SVRResult:
+    """slice_factory (optional): callable(cropped_stacks, thickness,
+    recon_mask_img, stack_transforms) -> SliceBatch, used by the PVR
+    pipeline to substitute patches for whole slices."""
+    stats = PerfStats()
+
+    # ----- load inputs ----------------------------------------------------
+    if stacks is None:
+        stacks = [read_nifti(p) for p in cfg.input_stacks]
+        stacks = [Image(s.data.astype(np.float32), s.attr) for s in stacks]
+    else:
+        stacks = [Image(np.array(s.data, np.float32, copy=True),
+                        s.attr.copy()) for s in stacks]
+    if mask is None and cfg.mask is not None:
+        mask = read_nifti(cfg.mask)
+    n_stacks = len(stacks)
+    thickness = list(cfg.thickness) if cfg.thickness else \
+        [2.0 * s.attr.dz for s in stacks]
+    tmpl = cfg.template_number
+    stack_transforms = np.tile(np.eye(4), (n_stacks, 1, 1))
+    stats.sample("load")
+
+    # ----- mask prep + template grid --------------------------------------
+    if mask is None:
+        mask = create_mask_from_overlap(stacks)
+        mask = Image((mask.data > 0).astype(np.float32), mask.attr)
+    m_tmpl = transform_mask(stacks[tmpl], mask,
+                            stack_transforms[tmpl])
+    stacks[tmpl] = crop_image(stacks[tmpl], m_tmpl)
+    recon_attr = create_template(stacks[tmpl], cfg.resolution)
+    recon_mask_img = set_mask(mask, recon_attr, cfg.smooth_mask)
+    stats.sample("template+mask")
+
+    # ----- stack registrations x2, crop, intensity matching ---------------
+    stack_transforms = stack_registrations(stacks, tmpl,
+                                           mask=None)
+    for i in range(n_stacks):
+        if i == tmpl:
+            continue
+        mi = transform_mask(stacks[i], recon_mask_img, stack_transforms[i])
+        stacks[i] = crop_image(stacks[i], mi)
+    stack_transforms = stack_registrations(stacks, tmpl, mask=None,
+                                           init_transforms=stack_transforms)
+    stats.sample("stack registration")
+
+    stack_factors = match_stack_intensities(
+        stacks, stack_transforms, recon_mask_img, cfg.average_value,
+        together=not cfg.intensity_matching)
+    stats.sample("intensity matching")
+
+    # ----- slices / patches ----------------------------------------------
+    if slice_factory is not None:
+        batch = slice_factory(stacks, thickness, recon_mask_img,
+                              stack_transforms)
+    else:
+        batch = create_slices(stacks, thickness)
+    n = batch.n_slices
+    transforms = np.stack([stack_transforms[batch.stack_index[i]]
+                           for i in range(n)]).astype(np.float64)
+    if slice_factory is None:
+        mask_slices(batch, transforms, recon_mask_img)
+    stats.sample("create slices")
+
+    # ----- device setup ---------------------------------------------------
+    support = psf_ops.reference_support(batch.dims, recon_attr.dx,
+                                        cfg.quality_factor,
+                                        cfg.max_psf_support)
+    offsets = psf_ops.make_offsets(support)
+    fast = None
+    if cfg.engine == "fast":
+        from ..ops.psf_fast import FastPSF
+        fast = FastPSF.from_batch(batch, recon_attr.w2i(), support)
+    ctx = svr_core.SVRContext(
+        vol_shape=recon_attr.shape_zyx,
+        vol_spacing=(recon_attr.dx, recon_attr.dy, recon_attr.dz),
+        offsets=offsets,
+        slice_spacing_xy=(stacks[0].attr.dx, stacks[0].attr.dy),
+        sigma_bias=cfg.sigma,
+        global_bias_correction=cfg.global_bias_correction,
+        disable_bias=cfg.disable_bias_correction,
+        delta=cfg.delta,
+        low_intensity_cutoff=cfg.low_intensity_cutoff,
+        fast=fast)
+
+    slices_j = jnp.asarray(batch.data)
+    valid = jnp.asarray(batch.data != -1.0)
+    slice_i2w_j = jnp.asarray(batch.i2w, jnp.float32)
+    dims_j = jnp.asarray(batch.dims)
+    recon_w2i_j = jnp.asarray(recon_attr.w2i(), jnp.float32)
+    mask_j = jnp.asarray(recon_mask_img.data)
+    mask_flat = mask_j.reshape(-1)
+    pos = batch.data[batch.data > 0]
+    max_i = float(pos.max()) if pos.size else 1.0
+    min_i = float(pos.min()) if pos.size else 0.0
+    force_excluded = np.zeros((n,), bool)
+    for idx in cfg.force_excluded:
+        if 0 <= idx < n:
+            force_excluded[idx] = True
+
+    reg_targets = None
+    reg_cfg = s2v.SliceRegConfig(levels=cfg.reg_levels,
+                                 iterations=cfg.reg_iterations)
+    recon = jnp.zeros(recon_attr.shape_zyx, jnp.float32)
+    em = svr_core.init_em_state(n, valid)
+    small_slices = np.zeros((n,), bool)
+    stats.sample("device setup")
+
+    # ----- outer loop -----------------------------------------------------
+    iterations = cfg.iterations
+    levels = cfg.multires_levels
+    cur_lambda = cfg.lambda_
+    for it in range(iterations):
+        # registration (none at iteration 0, reconstruction.cc:826)
+        if it > 0:
+            have_pkgs = (len(cfg.packages) == n_stacks
+                         and it <= iterations * (levels - 1) // levels
+                         and it < iterations - 1)
+            if have_pkgs:
+                recon_img = Image(np.asarray(recon), recon_attr.copy())
+                if it == 1:
+                    transforms = package_to_volume(
+                        stacks, cfg.packages, recon_img, transforms,
+                        use_nmi=cfg.use_nmi)
+                elif it == 2:
+                    transforms = package_to_volume(
+                        stacks, cfg.packages, recon_img, transforms,
+                        evenodd=True, use_nmi=cfg.use_nmi)
+                elif it == 3:
+                    transforms = package_to_volume(
+                        stacks, cfg.packages, recon_img, transforms,
+                        evenodd=True, half=True, use_nmi=cfg.use_nmi)
+                else:
+                    transforms = package_to_volume(
+                        stacks, cfg.packages, recon_img, transforms,
+                        evenodd=True, half=True, half_iter=it - 2,
+                        use_nmi=cfg.use_nmi)
+                    have_pkgs = False  # fall through to slice-to-volume
+            if not have_pkgs:
+                if reg_targets is None:
+                    reg_targets, reg_mo, reg_ofs = \
+                        prepare_registration_slices(batch, recon_attr.dx)
+                new_t, _ = s2v.register_slices_to_volume(
+                    reg_cfg, recon, recon_w2i_j,
+                    jnp.asarray(transforms, jnp.float32),
+                    jnp.asarray(reg_mo), jnp.asarray(reg_ofs),
+                    jnp.asarray(reg_targets), recon_attr.dx)
+                transforms = np.asarray(new_t, np.float64)
+            stats.sample("registration")
+
+        # smoothing schedule (reconstruction.cc:893-911); lambda persists
+        # between level boundaries (SetSmoothingParameters only fires at
+        # iter == iterations*(levels-i-1)/levels)
+        if it == iterations - 1:
+            cur_lambda = cfg.last_iter_lambda
+        else:
+            l = cfg.lambda_
+            for i in range(levels):
+                if it == iterations * (levels - i - 1) // levels:
+                    cur_lambda = l
+                l *= 2
+        alpha, lam = smoothing_parameters(cfg.delta, cur_lambda)
+
+        rec_iterations = (cfg.rec_iterations_first
+                          if it < iterations - 1
+                          else cfg.rec_iterations_last)
+
+        # geometry + initial volume
+        geom, sume = svr_core.build_geometry(
+            ctx, recon_w2i_j, jnp.asarray(transforms, jnp.float32),
+            slice_i2w_j, dims_j, valid)
+        em = svr_core.init_em_state(n, valid)
+        recon, vol_weights, voxel_count = svr_core.gaussian_reconstruction(
+            ctx, geom, sume, slices_j, valid, em.bias, em.scale, mask_flat)
+        stats.sample("gaussian reconstruction")
+
+        # exclude slices with small ROI overlap (GaussianReconstructionGPU)
+        vc = np.asarray(voxel_count)
+        median = np.sort(vc)[int(round(len(vc) * 0.5))]
+        small_slices = vc < 0.1 * median
+        excluded = jnp.asarray(force_excluded | small_slices)
+
+        sim_state = svr_core.simulate(ctx, geom, sume, recon, mask_flat)
+        em = svr_core.initialize_robust_statistics(
+            ctx, slices_j, valid, sim_state, em, max_i, min_i, excluded)
+        em, _ = svr_core.estep(ctx, slices_j, valid, sume, sim_state, em,
+                               excluded)
+        stats.sample("simulate+estep")
+
+        for sr_it in range(rec_iterations):
+            if cfg.intensity_matching:
+                if not cfg.disable_bias_correction and cfg.sigma > 0:
+                    em = svr_core.bias_step(ctx, slices_j, valid, sume,
+                                            sim_state, em)
+                em = svr_core.scale_step(ctx, slices_j, valid, sume,
+                                         sim_state, em)
+            recon, cmap = svr_core.superresolution_step(
+                ctx, geom, sume, slices_j, valid, em, sim_state, recon,
+                mask_flat, alpha, lam, min_i, max_i)
+            if (cfg.intensity_matching and not cfg.disable_bias_correction
+                    and cfg.sigma > 0 and not cfg.global_bias_correction):
+                recon = svr_core.normalise_bias_step(
+                    ctx, geom, sume, valid, em, recon, vol_weights,
+                    mask_j, mask_flat)
+            sim_state = svr_core.simulate(ctx, geom, sume, recon,
+                                          mask_flat)
+            em = svr_core.mstep(ctx, slices_j, valid, sume, sim_state, em,
+                                sr_it + 1)
+            em, _ = svr_core.estep(ctx, slices_j, valid, sume, sim_state,
+                                   em, excluded)
+        stats.sample("superresolution loop")
+
+        recon = mask_volume(recon, mask_j)
+
+    # ----- final intensity restoration ------------------------------------
+    # RestoreSliceIntensities (.cc:1003) + ScaleVolume (.cc:1034)
+    factors = jnp.asarray(stack_factors)[jnp.asarray(batch.stack_index)]
+    restored = jnp.where(slices_j > 0,
+                         slices_j / factors[:, None, None], slices_j)
+    from ..em.robust import scale_volume_factor
+    scale = scale_volume_factor(restored, valid, em.weights,
+                                em.slice_weight, sim_state.sim,
+                                sim_state.simw)
+    recon = jnp.where(recon > 0, recon * scale, recon)
+    stats.sample("restore+scale")
+
+    out = Image(np.asarray(recon), recon_attr.copy())
+    return SVRResult(reconstructed=out, transforms=transforms,
+                     slice_weights=np.asarray(em.slice_weight),
+                     stack_factors=stack_factors, stats=stats,
+                     excluded_slices=list(np.nonzero(small_slices)[0]))

@@ -23,13 +23,20 @@ import numpy as np
 from ..core.geometry import ImageAttributes
 from ..em import robust, bias as bias_mod
 from ..ops import psf as psf_ops
+from ..ops import psf_fast as psf_fast
 from ..sr import superresolution as sr
 from .state import EMState, SimState, SliceBatch
 
 
 @dataclasses.dataclass(frozen=True)
 class SVRContext:
-    """Static (compile-time) reconstruction configuration."""
+    """Static (compile-time) reconstruction configuration.
+
+    engine selection: fast=None -> the exact (reference-faithful) offset
+    engine (ops/psf.py); fast=FastPSF -> the TPU conv+trilinear engine
+    (ops/psf_fast.py), compared against the exact engine in
+    tests/test_psf_fast.py.
+    """
     vol_shape: Tuple[int, int, int]      # [z, y, x]
     vol_spacing: Tuple[float, float, float]  # (dx, dy, dz) mm
     offsets: np.ndarray                  # (K, 3) PSF support offsets
@@ -40,6 +47,7 @@ class SVRContext:
     adaptive: bool = False
     delta: float = 150.0
     low_intensity_cutoff: float = 0.01
+    fast: "psf_fast.FastPSF" = None      # static by identity
 
     def __post_init__(self):
         object.__setattr__(self, "offsets",
@@ -50,7 +58,7 @@ class SVRContext:
                      self.offsets.tobytes(), self.slice_spacing_xy,
                      self.sigma_bias, self.global_bias_correction,
                      self.disable_bias, self.adaptive, self.delta,
-                     self.low_intensity_cutoff))
+                     self.low_intensity_cutoff, id(self.fast)))
 
     def __eq__(self, other):
         return isinstance(other, SVRContext) and hash(self) == hash(other)
@@ -70,9 +78,12 @@ def slice_forward_matrices(recon_w2i, transforms, slice_i2w):
 @partial(jax.jit, static_argnames=("ctx",))
 def build_geometry(ctx: SVRContext, recon_w2i, transforms, slice_i2w,
                    slice_dims, valid):
-    """Recompute SliceGeom + PSF sums after a transform update
+    """Recompute geometry + PSF sums after a transform update
     (replaces the reference's CoeffInit / on-the-fly pass 1)."""
     fwd = slice_forward_matrices(recon_w2i, transforms, slice_i2w)
+    if ctx.fast is not None:
+        geom = psf_fast.make_fast_geom(ctx.fast, fwd, valid, ctx.vol_shape)
+        return geom, geom.sume
     geom = psf_ops.make_slice_geom(fwd, slice_dims, valid)
     sume = psf_ops.psf_sums(geom, ctx.offsets, ctx.vol_shape)
     return geom, sume
@@ -93,6 +104,14 @@ def gaussian_reconstruction(ctx: SVRContext, geom, sume, slices, valid,
     gate = valid & (sume > 0.0)
     p_val = jnp.where(gate, s, 0.0)
     p_one = jnp.where(gate, 1.0, 0.0)
+    mask_vol = mask_flat.reshape(ctx.vol_shape)
+    if ctx.fast is not None:
+        num, wts = psf_fast.fast_scatter2(ctx.fast, geom, p_val, p_one,
+                                          mask_vol, ctx.vol_shape)
+        recon = sr.equalize(num, wts)
+        _, _, inside = psf_fast.fast_simulate(ctx.fast, geom, num,
+                                              mask_vol, ctx.vol_shape)
+        return recon, wts, jnp.sum(inside, axis=(1, 2))
     num, wts = psf_ops.psf_scatter(geom, ctx.offsets, sume, [p_val, p_one],
                                    mask_flat, ctx.vol_shape)
     num = num.reshape(ctx.vol_shape)
@@ -110,9 +129,14 @@ def gaussian_reconstruction(ctx: SVRContext, geom, sume, slices, valid,
 @partial(jax.jit, static_argnames=("ctx",))
 def simulate(ctx: SVRContext, geom, sume, recon, mask_flat):
     """Forward-project the current volume (SimulateSlices)."""
-    sim, simw, inside = psf_ops.psf_gather(geom, ctx.offsets, sume,
-                                           recon.reshape(-1), mask_flat,
-                                           ctx.vol_shape)
+    if ctx.fast is not None:
+        sim, simw, inside = psf_fast.fast_simulate(
+            ctx.fast, geom, recon, mask_flat.reshape(ctx.vol_shape),
+            ctx.vol_shape)
+    else:
+        sim, simw, inside = psf_ops.psf_gather(geom, ctx.offsets, sume,
+                                               recon.reshape(-1),
+                                               mask_flat, ctx.vol_shape)
     slice_inside = jnp.any(inside, axis=(1, 2))
     return SimState(sim=sim, simw=simw, inside=inside,
                     slice_inside=slice_inside)
@@ -199,10 +223,23 @@ def superresolution_step(ctx: SVRContext, geom, sume, slices, valid,
                          em: EMState, sim_state, recon, mask_flat,
                          alpha, lambda_, min_intensity, max_intensity):
     """One SR update: scatter residuals, addon step, regularization."""
-    addon, cmap = sr.sr_accumulate(
-        geom, ctx.offsets, sume, slices, valid, em.bias, em.scale,
-        em.weights, em.slice_weight, sim_state.sim, mask_flat,
-        ctx.vol_shape, ctx.disable_bias)
+    if ctx.fast is not None:
+        if ctx.disable_bias:
+            s = slices * em.scale[:, None, None]
+        else:
+            s = robust.corrected_slice(slices, em.bias, em.scale)
+        resid = jnp.where(sim_state.sim > 0.0, s - sim_state.sim, 0.0)
+        wfac = em.weights * em.slice_weight[:, None, None]
+        gate = valid & (sume > 0.0)
+        addon, cmap = psf_fast.fast_scatter2(
+            ctx.fast, geom, jnp.where(gate, resid * wfac, 0.0),
+            jnp.where(gate, wfac, 0.0), mask_flat.reshape(ctx.vol_shape),
+            ctx.vol_shape)
+    else:
+        addon, cmap = sr.sr_accumulate(
+            geom, ctx.offsets, sume, slices, valid, em.bias, em.scale,
+            em.weights, em.slice_weight, sim_state.sim, mask_flat,
+            ctx.vol_shape, ctx.disable_bias)
     original = recon
     recon, cmap = sr.apply_addon(recon, addon, cmap, alpha, min_intensity,
                                  max_intensity, ctx.adaptive)
@@ -214,6 +251,26 @@ def superresolution_step(ctx: SVRContext, geom, sume, slices, valid,
 @partial(jax.jit, static_argnames=("ctx",))
 def normalise_bias_step(ctx: SVRContext, geom, sume, valid, em: EMState,
                         recon, vol_weights, mask, mask_flat):
+    if ctx.fast is not None:
+        logs = jnp.log(jnp.maximum(em.scale, 1e-30))
+        b = jnp.where(valid & (em.scale[:, None, None] > 0),
+                      em.bias - logs[:, None, None], em.bias)
+        payload = jnp.where(valid & (sume > 0), b, 0.0)
+        vol_bias, _ = psf_fast.fast_scatter2(
+            ctx.fast, geom, payload, jnp.zeros_like(payload),
+            mask_flat.reshape(ctx.vol_shape), ctx.vol_shape)
+        ok = vol_weights > 0
+        vol_bias = jnp.where(ok, vol_bias / jnp.where(ok, vol_weights,
+                                                      1.0), 0.0)
+        from ..ops.gaussian import gaussian_blur
+        m = (mask != 0).astype(recon.dtype)
+        vol_bias = jnp.where(mask != 0, vol_bias, 0.0)
+        vol_bias = gaussian_blur(vol_bias, ctx.sigma_bias, ctx.vol_spacing)
+        m_blur = gaussian_blur(m, ctx.sigma_bias, ctx.vol_spacing)
+        vol_bias = jnp.where(m_blur != 0,
+                             vol_bias / jnp.where(m_blur != 0, m_blur,
+                                                  1.0), 0.0)
+        return jnp.where(recon != -1.0, recon / jnp.exp(-vol_bias), recon)
     recon, _ = bias_mod.normalise_bias(
         geom, ctx.offsets, sume, valid, em.bias, em.scale, recon,
         vol_weights, mask, mask_flat, ctx.vol_shape, ctx.sigma_bias,

@@ -1,0 +1,126 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The sharded EM+SR iteration must produce the same numbers as the
+single-device path (the psum reductions replace global sums exactly).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fetalreconstruction_tpu.ops import psf as psf_ops
+from fetalreconstruction_tpu.parallel import sharded
+from fetalreconstruction_tpu.pipeline import svr_core
+from fetalreconstruction_tpu.pipeline.state import create_slices
+from fetalreconstruction_tpu.sr.superresolution import smoothing_parameters
+
+from phantom import make_ground_truth, simulate_stacks, mask_slices, \
+    recon_mask
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    gt = make_ground_truth(n=24, spacing=2.0)
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.5, dz=4.0,
+                                noise=1.0)
+    batch = mask_slices(create_slices(stacks, [8.0, 8.0]))
+    # pad slice count to a multiple of 8
+    n0 = batch.n_slices
+    n = sharded.pad_slices_for_mesh(n0, 8)
+    if n > n0:
+        pad = np.full((n - n0,) + batch.data.shape[1:], -1.0, np.float32)
+        batch.data = np.concatenate([batch.data, pad])
+        batch.i2w = np.concatenate([batch.i2w,
+                                    np.tile(np.eye(4), (n - n0, 1, 1))])
+        batch.dims = np.concatenate([batch.dims,
+                                     np.tile(batch.dims[-1:],
+                                             (n - n0, 1))])
+    ra = gt.attr
+    offsets = psf_ops.make_offsets(
+        psf_ops.reference_support(batch.dims[:n0], ra.dx, 1.0, 10))
+    ctx = svr_core.SVRContext(
+        vol_shape=ra.shape_zyx, vol_spacing=(ra.dx, ra.dy, ra.dz),
+        offsets=offsets, slice_spacing_xy=(2.5, 2.5),
+        disable_bias=True)  # the reference CLI default (reconstruction.cc:121)
+    transforms = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
+    valid = jnp.asarray(batch.data != -1.0)
+    geom, sume = svr_core.build_geometry(
+        ctx, jnp.asarray(ra.w2i(), jnp.float32), transforms,
+        jnp.asarray(batch.i2w, jnp.float32), jnp.asarray(batch.dims),
+        valid)
+    mask = recon_mask(gt)
+    return dict(gt=gt, batch=batch, ctx=ctx, geom=geom, sume=sume,
+                valid=valid, mask=mask,
+                mask_flat=jnp.asarray(mask).reshape(-1), n=n)
+
+
+def test_sharded_matches_single_device(setup):
+    s = setup
+    ctx = s["ctx"]
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    n = s["n"]
+    slices = jnp.asarray(s["batch"].data)
+    em = svr_core.init_em_state(n, s["valid"])
+
+    # --- single-device reference path
+    recon0, wts0, vc0 = svr_core.gaussian_reconstruction(
+        ctx, s["geom"], s["sume"], slices, s["valid"], em.bias, em.scale,
+        s["mask_flat"])
+    sim0 = svr_core.simulate(ctx, s["geom"], s["sume"], recon0,
+                             s["mask_flat"])
+    pos = s["batch"].data[s["batch"].data > 0]
+    mx, mn = float(pos.max()), float(pos.min())
+    excluded = jnp.zeros((n,), bool)
+    em0 = svr_core.initialize_robust_statistics(
+        ctx, slices, s["valid"], sim0, em, mx, mn, excluded)
+    em0, _ = svr_core.estep(ctx, slices, s["valid"], s["sume"], sim0, em0,
+                            excluded)
+    alpha, lam = smoothing_parameters(150.0, 0.02)
+    em0s = em0._replace(scale=jnp.asarray(np.asarray(em0.scale)))
+    recon1, _ = svr_core.superresolution_step(
+        ctx, s["geom"], s["sume"], slices, s["valid"],
+        em0._replace(scale=jnp.ones((n,))), sim0, recon0, s["mask_flat"],
+        alpha, lam, mn, mx)
+
+    # --- sharded path
+    g_fn = sharded.sharded_gaussian_reconstruction(ctx, mesh)
+    recon0_s, wts0_s, vc0_s = g_fn(slices, s["valid"], s["geom"],
+                                   s["sume"], em.bias, em.scale,
+                                   s["mask_flat"])
+    assert np.allclose(np.asarray(recon0_s), np.asarray(recon0), atol=1e-3)
+    assert np.allclose(np.asarray(wts0_s), np.asarray(wts0), atol=1e-3)
+    assert np.array_equal(np.asarray(vc0_s), np.asarray(vc0))
+
+    step_fn = sharded.sharded_em_sr_iteration(ctx, mesh)
+    recon1_s, em1_s, sim1_s = step_fn(
+        slices, s["valid"], s["geom"], s["sume"],
+        em0._replace(scale=jnp.ones((n,))), sim0, recon0, wts0,
+        jnp.asarray(s["mask"]), s["mask_flat"], excluded,
+        jnp.float32(alpha), jnp.float32(lam), jnp.float32(mn),
+        jnp.float32(mx), jnp.int32(2))
+
+    # reference: same sequence single-device
+    em_ref = em0._replace(scale=jnp.ones((n,)))
+    em_ref = svr_core.scale_step(ctx, slices, s["valid"], s["sume"], sim0,
+                                 em_ref)
+    recon_ref, _ = svr_core.superresolution_step(
+        ctx, s["geom"], s["sume"], slices, s["valid"], em_ref, sim0,
+        recon0, s["mask_flat"], alpha, lam, mn, mx)
+    sim_ref = svr_core.simulate(ctx, s["geom"], s["sume"], recon_ref,
+                                s["mask_flat"])
+    em_ref = svr_core.mstep(ctx, slices, s["valid"], s["sume"], sim_ref,
+                            em_ref, 2)
+    em_ref, _ = svr_core.estep(ctx, slices, s["valid"], s["sume"], sim_ref,
+                               em_ref, excluded)
+
+    assert np.allclose(np.asarray(recon1_s), np.asarray(recon_ref),
+                       atol=2e-2), \
+        float(np.abs(np.asarray(recon1_s) - np.asarray(recon_ref)).max())
+    assert np.allclose(np.asarray(em1_s.sigma2), np.asarray(em_ref.sigma2),
+                       rtol=1e-3)
+    assert np.allclose(np.asarray(em1_s.slice_weight),
+                       np.asarray(em_ref.slice_weight), atol=1e-3)
+    assert np.allclose(np.asarray(sim1_s.sim), np.asarray(sim_ref.sim),
+                       atol=2e-2)

@@ -1,0 +1,92 @@
+"""End-to-end SVR pipeline test: motion-corrupted stacks -> reconstruction.
+
+The full acceptance path: generate GT, simulate misaligned noisy stacks,
+run the complete pipeline (stack registration, intensity matching, EM/SR
+with slice-to-volume registration), compare PSNR against a no-registration
+run.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fetalreconstruction_tpu.core.geometry import rigid_matrix
+from fetalreconstruction_tpu.core.image import Image
+from fetalreconstruction_tpu.pipeline.config import SVRConfig
+from fetalreconstruction_tpu.pipeline.svr import run_svr
+from fetalreconstruction_tpu.ops.sampling import resample_to_grid
+
+from phantom import make_ground_truth, simulate_stacks, psnr
+
+
+@pytest.fixture(scope="module")
+def data():
+    gt = make_ground_truth(n=32, spacing=1.5)
+    # two stacks; second one rigidly displaced (stack-level motion)
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.0, dz=3.0,
+                                noise=1.0)
+    moved = resample_to_grid(
+        jnp.asarray(stacks[1].data),
+        jnp.asarray(stacks[1].attr.w2i()
+                    @ rigid_matrix([2.0, -1.5, 1.0, 2.0, -1.5, 1.0]),
+                    jnp.float32),
+        stacks[1].attr.shape_zyx,
+        jnp.asarray(stacks[1].attr.i2w(), jnp.float32),
+        interp="linear", padding=0.0)
+    stacks[1] = Image(np.asarray(moved), stacks[1].attr)
+    mask_img = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
+    return gt, stacks, mask_img
+
+
+def _small_cfg(**kw):
+    base = dict(iterations=2, resolution=1.5, rec_iterations_first=3,
+                rec_iterations_last=5, smooth_mask=2.0,
+                average_value=700.0, multires_levels=2,
+                reg_levels=1, reg_iterations=5)
+    base.update(kw)
+    return SVRConfig(**base)
+
+
+def test_full_pipeline_runs_and_reconstructs(data):
+    gt, stacks, mask_img = data
+    cfg = _small_cfg()
+    res = run_svr(cfg, stacks=stacks, mask=mask_img)
+    out = res.reconstructed
+    assert out.data.shape == out.attr.shape_zyx
+    assert np.all(np.isfinite(out.data))
+    # compare against GT resampled onto the recon grid
+    gt_on = resample_to_grid(
+        jnp.asarray(gt.data), jnp.asarray(gt.attr.w2i(), jnp.float32),
+        out.attr.shape_zyx, jnp.asarray(out.attr.i2w(), jnp.float32))
+    gt_on = np.asarray(gt_on)
+    roi = (gt_on > 1.0) & (out.data > 0)
+    assert roi.mean() > 0.05
+    p = psnr(out.data[roi], gt_on[roi])
+    assert p > 14.0, f"pipeline PSNR {p}"
+    # intensity restored to the GT scale (not the average-700 scale)
+    ratio = out.data[roi].mean() / gt_on[roi].mean()
+    assert 0.7 < ratio < 1.4, f"intensity ratio {ratio}"
+    # slice count corresponds to the CROPPED stacks (pipeline crops to the
+    # transformed mask) and matches the EM state
+    assert res.transforms.shape[0] == res.slice_weights.shape[0] > 0
+    assert res.transforms.shape[0] <= sum(s.attr.z for s in stacks)
+    assert np.all(res.slice_weights >= 0) and np.all(res.slice_weights <= 1)
+
+
+def test_registration_improves_over_no_registration(data):
+    gt, stacks, mask_img = data
+    gt_grid = None
+    outs = {}
+    for iters in (1, 2):
+        # iterations=1 -> no registration pass at all
+        cfg = _small_cfg(iterations=iters)
+        res = run_svr(cfg, stacks=stacks, mask=mask_img)
+        out = res.reconstructed
+        gt_on = np.asarray(resample_to_grid(
+            jnp.asarray(gt.data), jnp.asarray(gt.attr.w2i(), jnp.float32),
+            out.attr.shape_zyx, jnp.asarray(out.attr.i2w(), jnp.float32)))
+        roi = (gt_on > 1.0) & (out.data > 0)
+        outs[iters] = psnr(out.data[roi], gt_on[roi])
+    # stack registration already fixed most stack motion in both runs, but
+    # the slice-to-volume pass (iterations=2) must not be worse
+    assert outs[2] > outs[1] - 0.5, f"PSNR {outs}"

@@ -1,0 +1,176 @@
+"""SLIC superpixel segmentation + superpixel patch extraction.
+
+Reimplements the reference's SLIC path (runSLIC_2D.c:340-483 +
+runStackSLIC.cpp segmentSLIC) and the superpixel patch builder
+(CreateSlicesAndTransformationsSuperpixelBased,
+irtkReconstructionGPU.cc:1680-1786):
+
+- gray values are lifted to CIELAB L via the gray->RGB->LAB chain the
+  reference uses (r,g,b = 0.2989/0.5870/0.1140 * gray); since all three
+  channels are proportional to gray, a/b are constant and clustering
+  happens on (L, x, y) with compactness m;
+- seeds on a hexagonal-ish grid of step sqrt(sz/numSuperpixels),
+  numSuperpixels = m * sqrt(w*h/2);
+- 5 k-means iterations restricted to 2S x 2S windows, then connectivity
+  enforcement (small orphan regions merged into an adjacent label);
+- per-label patches: bounding box + spx_extend pixels, validity mask =
+  label mask dilated 8 times with in-plane 8-connectivity (the 2D trace of
+  CONNECTIVITY_18), outside -> -1.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from scipy import ndimage
+
+from ..core.image import Image
+from ..pipeline.state import SliceBatch
+
+
+def gray_to_lab_l(gray: np.ndarray) -> np.ndarray:
+    """CIELAB L of the reference's gray->RGB->XYZ->LAB chain."""
+    r = 0.2989 * gray
+    g = 0.5870 * gray
+    b = 0.1140 * gray
+    # sRGB -> XYZ (D65), reference rgbtolab uses the standard matrix on
+    # [0,255] inputs normalized by 255 with gamma correction
+    def inv_gamma(c):
+        c = c / 255.0
+        return np.where(c <= 0.04045, c / 12.92,
+                        ((c + 0.055) / 1.055) ** 2.4)
+    rr, gg, bb = inv_gamma(r), inv_gamma(g), inv_gamma(b)
+    y = 0.212671 * rr + 0.715160 * gg + 0.072169 * bb
+    yn = y / 1.0
+    fy = np.where(yn > 0.008856, np.cbrt(yn), 7.787 * yn + 16.0 / 116.0)
+    return 116.0 * fy - 16.0
+
+
+def slic_labels(img: np.ndarray, compactness: float = 10.0,
+                num_superpixels: Optional[int] = None,
+                iterations: int = 5) -> np.ndarray:
+    """SLIC segmentation of a 2D image. Returns int labels (H, W)."""
+    h, w = img.shape
+    sz = h * w
+    if num_superpixels is None:
+        num_superpixels = max(int(compactness * np.sqrt(sz / 2.0)), 4)
+    lvec = gray_to_lab_l(np.asarray(img, np.float64))
+
+    step = max(int(np.sqrt(sz / float(num_superpixels)) + 0.5), 2)
+    ys = np.arange(step // 2, h, step)
+    xs = np.arange(step // 2, w, step)
+    seeds = [(yy, xx) for yy in ys for xx in xs]
+    k = len(seeds)
+    if k == 0:
+        return np.zeros((h, w), np.int32)
+    sy = np.array([s[0] for s in seeds], np.float64)
+    sx = np.array([s[1] for s in seeds], np.float64)
+    sl = lvec[sy.astype(int), sx.astype(int)]
+
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    labels = np.full((h, w), -1, np.int32)
+    dists = np.full((h, w), np.inf)
+    invwt = (compactness / step) ** 2
+
+    for _ in range(iterations):
+        labels.fill(-1)
+        dists.fill(np.inf)
+        for i in range(k):
+            y0, y1 = max(int(sy[i]) - step, 0), min(int(sy[i]) + step, h)
+            x0, x1 = max(int(sx[i]) - step, 0), min(int(sx[i]) + step, w)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            dl = (lvec[y0:y1, x0:x1] - sl[i]) ** 2
+            dxy = ((yy[y0:y1, x0:x1] - sy[i]) ** 2
+                   + (xx[y0:y1, x0:x1] - sx[i]) ** 2)
+            d = dl + dxy * invwt
+            better = d < dists[y0:y1, x0:x1]
+            dists[y0:y1, x0:x1] = np.where(better, d, dists[y0:y1, x0:x1])
+            labels[y0:y1, x0:x1] = np.where(better, i,
+                                            labels[y0:y1, x0:x1])
+        # update seeds
+        for i in range(k):
+            m = labels == i
+            if m.any():
+                sy[i] = yy[m].mean()
+                sx[i] = xx[m].mean()
+                sl[i] = lvec[m].mean()
+
+    labels[labels < 0] = 0
+    # enforce connectivity: relabel connected components; merge tiny ones
+    out = np.full((h, w), -1, np.int32)
+    next_label = 0
+    min_size = (step * step) // 4
+    for i in range(k):
+        comp, ncomp = ndimage.label(labels == i)
+        for c in range(1, ncomp + 1):
+            m = comp == c
+            if m.sum() >= min_size:
+                out[m] = next_label
+                next_label += 1
+    if (out < 0).any():
+        # assign orphans to nearest labelled pixel
+        ind = ndimage.distance_transform_edt(out < 0, return_distances=False,
+                                             return_indices=True)
+        out = out[tuple(ind)]
+    return out
+
+
+def extract_superpixel_patches(stacks: List[Image], thickness: List[float],
+                               spx_size: int = 64, spx_extend: int = 8,
+                               compactness: float = 10.0,
+                               dilation_iters: int = 8,
+                               max_patch: int = 64) -> SliceBatch:
+    """Superpixel patches: per label, bbox + extend, dilated-label validity
+    (CreateSlicesAndTransformationsSuperpixelBased)."""
+    datas, attrs, sidx, dims = [], [], [], []
+    struct = ndimage.generate_binary_structure(2, 2)  # 8-connectivity
+    for s, st in enumerate(stacks):
+        a = st.attr
+        num_spx = max(int((a.x * a.y) / float(spx_size * spx_size)), 4)
+        for z in range(a.z):
+            sdata = st.data[z]
+            labels = slic_labels(sdata, compactness=compactness,
+                                 num_superpixels=num_spx)
+            slice_attr = a.region(0, 0, z, a.x, a.y, z + 1)
+            slice_attr.dz = float(thickness[s])
+            for lab in range(labels.max() + 1):
+                m = labels == lab
+                if not m.any():
+                    continue
+                # skip background-only superpixels
+                if sdata[m].max() <= 0:
+                    continue
+                ys_idx, xs_idx = np.nonzero(m)
+                y0 = max(int(ys_idx.min()) - spx_extend, 0)
+                y1 = min(int(ys_idx.max()) + 1 + spx_extend, a.y)
+                x0 = max(int(xs_idx.min()) - spx_extend, 0)
+                x1 = min(int(xs_idx.max()) + 1 + spx_extend, a.x)
+                if (y1 - y0) > max_patch or (x1 - x0) > max_patch:
+                    # bound patch extent (reference: 64x64 GPU limit)
+                    y1 = min(y1, y0 + max_patch)
+                    x1 = min(x1, x0 + max_patch)
+                dil = ndimage.binary_dilation(m, structure=struct,
+                                              iterations=dilation_iters)
+                patch = np.where(dil, sdata, -1.0)[y0:y1, x0:x1] \
+                    .astype(np.float32)
+                if (patch > 0).sum() < 16:
+                    continue
+                pa = slice_attr.region(x0, y0, 0, x1, y1, 1)
+                pa.dz = float(thickness[s])
+                datas.append(patch)
+                attrs.append(pa)
+                sidx.append(s)
+                dims.append([a.dx, a.dy, float(thickness[s])])
+    if not datas:
+        raise ValueError("no superpixel patches extracted")
+    h = max(d.shape[0] for d in datas)
+    w = max(d.shape[1] for d in datas)
+    n = len(datas)
+    data = np.full((n, h, w), -1.0, np.float32)
+    for kk, d in enumerate(datas):
+        data[kk, :d.shape[0], :d.shape[1]] = d
+    i2w = np.stack([pa.i2w() for pa in attrs]).astype(np.float64)
+    return SliceBatch(data=data, i2w=i2w,
+                      dims=np.asarray(dims, np.float32),
+                      stack_index=np.asarray(sidx, np.int32), attrs=attrs)

@@ -84,11 +84,20 @@ def run_pvr(cfg: PVRConfig, stacks: Optional[List[Image]] = None,
 
 def _run_level(cfg: PVRConfig, stacks, mask, patch_size, patch_stride,
                initial: Optional[Image]) -> SVRResult:
-    def factory(cropped_stacks, thickness, recon_mask_img,
-                stack_transforms):
-        return extract_patches(
-            cropped_stacks, thickness, patch_size, patch_stride,
-            mask=recon_mask_img, stack_transforms=stack_transforms,
-            use_full_slices=cfg.use_full_slices)
+    if cfg.superpixel:
+        from ..patches.slic import extract_superpixel_patches
+
+        def factory(cropped_stacks, thickness, recon_mask_img,
+                    stack_transforms):
+            return extract_superpixel_patches(
+                cropped_stacks, thickness, spx_size=cfg.spx_size,
+                spx_extend=cfg.spx_extend)
+    else:
+        def factory(cropped_stacks, thickness, recon_mask_img,
+                    stack_transforms):
+            return extract_patches(
+                cropped_stacks, thickness, patch_size, patch_stride,
+                mask=recon_mask_img, stack_transforms=stack_transforms,
+                use_full_slices=cfg.use_full_slices)
 
     return run_svr(cfg, stacks=stacks, mask=mask, slice_factory=factory)

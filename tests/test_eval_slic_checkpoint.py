@@ -1,0 +1,103 @@
+"""Tests for evaluation metrics, SLIC superpixels, and checkpointing."""
+import numpy as np
+import pytest
+
+from fetalreconstruction_tpu.core.geometry import ImageAttributes
+from fetalreconstruction_tpu.core.image import Image
+from fetalreconstruction_tpu.evaluation.metrics import evaluate
+from fetalreconstruction_tpu.patches.slic import (slic_labels,
+                                                  extract_superpixel_patches)
+from fetalreconstruction_tpu.pipeline.checkpoint import (save_checkpoint,
+                                                         load_checkpoint)
+
+from phantom import make_ground_truth
+
+
+def _img(data, spacing=1.0):
+    z, y, x = data.shape
+    a = ImageAttributes(x=x, y=y, z=z, dx=spacing, dy=spacing, dz=spacing)
+    return Image(np.asarray(data, np.float32), a)
+
+
+def test_identical_images_metrics():
+    rng = np.random.default_rng(0)
+    img = _img(rng.uniform(0, 200, (12, 14, 16)))
+    r = evaluate(img, img)
+    assert r.cc > 0.999
+    assert r.nmi > 1.9          # identical -> NMI ~ 2
+    assert r.psnr > 60
+    assert r.ssd < 1.0
+    assert r.lc > 0.99 and r.ks > 0.99
+
+
+def test_noise_lowers_metrics():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 200, (12, 14, 16))
+    b = a + rng.normal(0, 20, a.shape)
+    r = evaluate(_img(a), _img(b))
+    assert 0.7 < r.cc < 0.999
+    assert 1.0 < r.nmi < 1.6
+    assert 15 < r.psnr < 35
+    assert r.mi > 0.1
+
+
+def test_contrast_invariance_of_nmi():
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0, 200, (10, 10, 10))
+    b = np.sqrt(a) * 14.0  # monotonic remap
+    r = evaluate(_img(a), _img(b))
+    assert r.nmi > 1.5          # high despite intensity remap
+    assert r.mi > 0.5
+
+
+def test_slic_labels_basic():
+    rng = np.random.default_rng(3)
+    img = np.zeros((48, 48), np.float32)
+    img[:, :24] = 50.0
+    img[:, 24:] = 150.0
+    img += rng.normal(0, 2, img.shape).astype(np.float32)
+    labels = slic_labels(img, compactness=10.0, num_superpixels=16)
+    assert labels.min() >= 0
+    n = labels.max() + 1
+    assert 4 <= n <= 40
+    # labels respect the intensity boundary: few superpixels straddle it
+    straddle = 0
+    for lab in range(n):
+        m = labels == lab
+        if m[:, :22].any() and m[:, 26:].any():
+            straddle += 1
+    assert straddle <= n // 4
+
+
+def test_superpixel_patch_extraction():
+    gt = make_ground_truth(n=24, spacing=2.0)
+    st = Image(np.ascontiguousarray(gt.data[10:14]),
+               gt.attr.region(0, 0, 10, gt.attr.x, gt.attr.y, 14))
+    batch = extract_superpixel_patches([st], [4.0], spx_size=8,
+                                       spx_extend=2, dilation_iters=2)
+    assert batch.n_slices > 4
+    # patch world geometry consistent with stack
+    for k in range(0, batch.n_slices, 5):
+        pa = batch.attrs[k]
+        w = pa.image_to_world([1.0, 1.0, 0.0])
+        p = st.attr.world_to_image(w)
+        assert -1 <= p[2] <= st.attr.z, p
+
+
+def test_checkpoint_round_trip(tmp_path):
+    rng = np.random.default_rng(4)
+    img = _img(rng.normal(50, 10, (8, 9, 10)), spacing=1.25)
+    img.attr.xorigin = 3.0
+    tr = rng.normal(size=(5, 4, 4))
+    sw = rng.uniform(0, 1, 5).astype(np.float32)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, 3, img, tr, slice_weights=sw,
+                    stack_factors=np.asarray([1.5, 2.0], np.float32),
+                    extra=dict(sigma2=np.float32(12.5)))
+    back = load_checkpoint(path)
+    assert back["iteration"] == 3
+    assert np.allclose(back["recon"].data, img.data)
+    assert np.allclose(back["recon"].attr.i2w(), img.attr.i2w())
+    assert np.allclose(back["transforms"], tr)
+    assert np.allclose(back["slice_weights"], sw)
+    assert float(back["sigma2"]) == 12.5

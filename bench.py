@@ -70,17 +70,27 @@ def build_problem(n_stacks=4, stack_slices=42, hw=144, vol=160,
         rng.uniform(100, 700, (n, hw, hw)).astype(np.float32))
     valid = jnp.ones((n, hw, hw), bool)
     transforms = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
+    mask_flat = jnp.ones(vol ** 3, jnp.float32)
     geom, sume = svr_core.build_geometry(
         ctx, jnp.asarray(recon_attr.w2i(), jnp.float32), transforms,
         jnp.asarray(i2w, jnp.float32), jnp.asarray(dims, jnp.float32),
-        valid)
-    mask_flat = jnp.ones(vol ** 3, jnp.float32)
+        valid, mask_flat)
     return ctx, dict(slices=slices, valid=valid, geom=geom, sume=sume,
                      mask_flat=mask_flat, n=n)
 
 
 def main():
     import jax
+    # persistent compile cache (opt-in): repeated driver runs skip the
+    # slow (remote) XLA compiles
+    if os.environ.get("JAX_CACHE_DIR"):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_CACHE_DIR"])
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
     import jax.numpy as jnp
     from fetalreconstruction_tpu.pipeline import svr_core
 

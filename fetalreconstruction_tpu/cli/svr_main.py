@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--useGPUReg", action="store_true")
     p.add_argument("--useAutoTemplate", action="store_true")
     p.add_argument("--num_stacks_tuner", type=int, default=0)
+    p.add_argument("--tfolder", default="",
+                   help="Folder with per-slice transformation%%i.dof files")
     p.add_argument("--engine", choices=["fast", "exact"], default="fast",
                    help="PSF engine: fast (TPU conv+trilinear) or exact "
                         "(reference-faithful offsets)")
@@ -95,19 +97,24 @@ def main(argv=None) -> int:
         rec_iterations_last=args.rec_iterations_last,
         disable_bias_correction=args.disableBiasCorrection,
         use_nmi=args.useNMI,
+        tfolder=args.tfolder,
         force_excluded=args.force_exclude,
         debug=args.debug,
         log_prefix=args.log_prefix,
         save_slice_transformations=args.saveSliceTransformations,
+        use_auto_template=args.useAutoTemplate,
         engine=args.engine)
+    cfg.transformation_files = args.transformations
 
     result = run_svr(cfg)
     write_nifti(result.reconstructed, cfg.output)
     print(f"wrote {cfg.output}")
 
     if args.saveSliceTransformations:
-        np.save(cfg.output + ".transforms.npy", result.transforms)
-        print(f"wrote {cfg.output}.transforms.npy")
+        from ..io.dof import save_transformations
+        folder = cfg.output + ".transforms"
+        save_transformations(folder, result.transforms)
+        print(f"wrote {folder}/transformation*.dof")
 
     result.stats.print()
     perf_name = (args.log_prefix

@@ -27,8 +27,8 @@ tests):
 K_s is decomposed into a sum of separable rank-1 triads (two-stage SVD,
 energy cutoff), so each convolution is a handful of shift-multiply-add
 passes on the VPU; the only scatter left is the 8-corner trilinear splat
-(~28M updates for the canonical run) with addon/cmap packed into one
-complex64 scatter.
+(~28M updates for the canonical run) with addon/cmap sharing one index set
+in a single stacked-f32 scatter.
 """
 from __future__ import annotations
 
@@ -48,10 +48,14 @@ class FastGeom(NamedTuple):
     xp:    (N, H, W, 3) f32  continuous volume position F_s p (x, y, z)
     valid: (N, H, W)   bool
     sume:  (N, H, W)   f32   PSF normalization (conv(1))(xp), 0-gated
+    cmask: (S, Z, Y, X) f32  per-stack conv(mask) — mask is constant per
+           run, so these fields are cached at geometry build and reused by
+           every simulate call
     """
     xp: jax.Array
     valid: jax.Array
     sume: jax.Array
+    cmask: jax.Array
 
 
 def stack_kernel(a3: np.ndarray, slice_dim: np.ndarray,
@@ -268,10 +272,11 @@ class FastPSF:
         return cls(np.asarray(a3s), np.asarray(dims), ranges, support, tol)
 
 
-def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape):
-    """Continuous per-pixel positions + sume (conv(1))(xp).
+def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape, mask=None):
+    """Continuous per-pixel positions + sume (conv(1))(xp) + cached
+    per-stack conv(mask) fields.
 
-    fwd: (N,4,4) = reconW2I @ T_s @ sliceI2W.
+    fwd: (N,4,4) = reconW2I @ T_s @ sliceI2W; mask: [z,y,x] (ones if None).
     """
     n, h, w = valid.shape
     px = jnp.arange(w, dtype=jnp.float32)
@@ -280,23 +285,31 @@ def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape):
           + fwd[:, None, None, :3, 1] * py[None, :, None, None]
           + fwd[:, None, None, :3, 3])
     ones = jnp.ones(vol_shape, jnp.float32)
+    if mask is None:
+        mask = ones
+    mask = mask.reshape(vol_shape)
     sume = jnp.zeros((n, h, w), jnp.float32)
+    cmasks = []
     for (lo, hi), terms in zip(fast.ranges, fast.terms):
         c1 = conv_separable(ones, terms)
         sume = sume.at[lo:hi].set(trilinear_gather(c1, xp[lo:hi]))
+        cmasks.append(conv_separable(mask, terms))
     sume = jnp.where(valid & (sume > 0.5), sume, 0.0)
-    return FastGeom(xp=xp, valid=valid, sume=sume)
+    return FastGeom(xp=xp, valid=valid, sume=sume,
+                    cmask=jnp.stack(cmasks))
 
 
 def fast_simulate(fast: FastPSF, geom: FastGeom, vol, mask, vol_shape):
-    """sim, simw, inside — fast analog of psf_gather."""
+    """sim, simw, inside — fast analog of psf_gather.
+
+    conv(mask) comes from the geometry cache (mask constant per run)."""
     n, h, w = geom.valid.shape
     sim = jnp.zeros((n, h, w), jnp.float32)
     den_out = jnp.zeros((n, h, w), jnp.float32)
     vm = vol * mask
-    for (lo, hi), terms in zip(fast.ranges, fast.terms):
+    for si, ((lo, hi), terms) in enumerate(zip(fast.ranges, fast.terms)):
         cv = conv_separable(vm, terms)
-        cm = conv_separable(mask, terms)
+        cm = geom.cmask[si]
         num = trilinear_gather(cv, geom.xp[lo:hi])
         den = trilinear_gather(cm, geom.xp[lo:hi])
         sim = sim.at[lo:hi].set(
@@ -322,12 +335,18 @@ def fast_scatter2(fast: FastPSF, geom: FastGeom, pay_a, pay_b, mask,
                                                    geom.sume, 1.0), 0.0)
     a = pay_a * inv
     b = pay_b * inv
-    out_a = jnp.zeros(vol_shape, jnp.float32)
-    out_b = jnp.zeros(vol_shape, jnp.float32)
+    out = jnp.zeros((2,) + tuple(vol_shape), jnp.float32)
     for (lo, hi), terms in zip(fast.ranges, fast.terms):
         sa, sb = trilinear_splat2(geom.xp[lo:hi], a[lo:hi], b[lo:hi],
                                   vol_shape)
-        out_a = out_a + conv_separable(sa, terms, flip=True)
-        out_b = out_b + conv_separable(sb, terms, flip=True)
+        # batch both payload fields through one conv pass (axes shift by 1)
+        both = jnp.stack([sa, sb])
+        acc = jnp.zeros_like(both)
+        for kzv, kyv, kxv, c in terms:
+            t = _conv1d_axis_adj(both, kxv, axis=3)
+            t = _conv1d_axis_adj(t, kyv, axis=2)
+            t = _conv1d_axis_adj(t, kzv, axis=1)
+            acc = acc + c * t
+        out = out + acc
     m = (mask != 0).astype(jnp.float32)
-    return out_a * m, out_b * m
+    return out[0] * m, out[1] * m

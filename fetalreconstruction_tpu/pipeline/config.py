@@ -42,6 +42,9 @@ class SVRConfig:
     debug: bool = False
     log_prefix: str = ""
     save_slice_transformations: bool = False
+    use_auto_template: bool = False
+    tfolder: str = ""             # per-slice .dof resume folder
+    reference_volume: str = ""    # seed volume; registration runs at iter 0
 
     # engine knobs (TPU-side, no reference analog)
     engine: str = "fast"          # "fast" (TPU conv+trilinear) | "exact"

@@ -100,4 +100,5 @@ def _run_level(cfg: PVRConfig, stacks, mask, patch_size, patch_stride,
                 mask=recon_mask_img, stack_transforms=stack_transforms,
                 use_full_slices=cfg.use_full_slices)
 
-    return run_svr(cfg, stacks=stacks, mask=mask, slice_factory=factory)
+    return run_svr(cfg, stacks=stacks, mask=mask, slice_factory=factory,
+                   reference_volume=initial)

@@ -192,14 +192,36 @@ class SVRResult:
     stack_factors: np.ndarray
     stats: PerfStats
     excluded_slices: List[int]
+    slice_inside: Optional[np.ndarray] = None  # (N,) bool
+
+    def inclusion_report(self) -> str:
+        """Included/excluded/outside slice lists (Evaluate,
+        irtkReconstructionGPU.cc:4540)."""
+        sw = self.slice_weights
+        inside = (self.slice_inside if self.slice_inside is not None
+                  else np.ones_like(sw, bool))
+        inc = np.nonzero((sw >= 0.5) & inside)[0]
+        exc = np.nonzero((sw < 0.5) & inside)[0]
+        out = np.nonzero(~inside)[0]
+        return ("Included slices: %s\nTotal: %d\n"
+                "Excluded slices: %s\nTotal: %d\n"
+                "Outside slices: %s\nTotal: %d"
+                % (" ".join(map(str, inc)), len(inc),
+                   " ".join(map(str, exc)), len(exc),
+                   " ".join(map(str, out)), len(out)))
 
 
 def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
             mask: Optional[Image] = None,
-            slice_factory=None) -> SVRResult:
+            slice_factory=None,
+            reference_volume: Optional[Image] = None) -> SVRResult:
     """slice_factory (optional): callable(cropped_stacks, thickness,
     recon_mask_img, stack_transforms) -> SliceBatch, used by the PVR
-    pipeline to substitute patches for whole slices."""
+    pipeline to substitute patches for whole slices.
+
+    reference_volume (optional, or cfg.reference_volume path): seeds the
+    initial reconstruction, and registration then runs already at
+    iteration 0 (reconstruction.cc:254-258, 826)."""
     stats = PerfStats()
 
     # ----- load inputs ----------------------------------------------------
@@ -215,7 +237,17 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     thickness = list(cfg.thickness) if cfg.thickness else \
         [2.0 * s.attr.dz for s in stacks]
     tmpl = cfg.template_number
+    if cfg.use_auto_template:
+        from ..utils.motion import select_template
+        tmpl = select_template(stacks)
     stack_transforms = np.tile(np.eye(4), (n_stacks, 1, 1))
+    if cfg.transformation_files:
+        # reference: .dof files store template->stack; the pipeline's
+        # stored convention is the inverse (reconstruction.cc:399)
+        from ..io.dof import read_dof
+        for i, f in enumerate(cfg.transformation_files[:n_stacks]):
+            if f and f != "id":
+                stack_transforms[i] = invert_rigid(read_dof(f))
     stats.sample("load")
 
     # ----- mask prep + template grid --------------------------------------
@@ -295,10 +327,24 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         if 0 <= idx < n:
             force_excluded[idx] = True
 
+    if cfg.tfolder:
+        from ..io.dof import read_transformations
+        transforms = read_transformations(cfg.tfolder, n)
+
     reg_targets = None
     reg_cfg = s2v.SliceRegConfig(levels=cfg.reg_levels,
                                  iterations=cfg.reg_iterations)
     recon = jnp.zeros(recon_attr.shape_zyx, jnp.float32)
+    if reference_volume is None and cfg.reference_volume:
+        reference_volume = read_nifti(cfg.reference_volume)
+    have_reference = reference_volume is not None
+    if have_reference:
+        recon = resample_to_grid(
+            jnp.asarray(reference_volume.data),
+            jnp.asarray(reference_volume.attr.w2i(), jnp.float32),
+            recon_attr.shape_zyx,
+            jnp.asarray(recon_attr.i2w(), jnp.float32), interp="linear",
+            padding=0.0)
     em = svr_core.init_em_state(n, valid)
     small_slices = np.zeros((n,), bool)
     stats.sample("device setup")
@@ -308,8 +354,9 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     levels = cfg.multires_levels
     cur_lambda = cfg.lambda_
     for it in range(iterations):
-        # registration (none at iteration 0, reconstruction.cc:826)
-        if it > 0:
+        # registration (at iteration 0 only with a reference volume,
+        # reconstruction.cc:826)
+        if it > 0 or have_reference:
             have_pkgs = (len(cfg.packages) == n_stacks
                          and it <= iterations * (levels - 1) // levels
                          and it < iterations - 1)
@@ -365,7 +412,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         # geometry + initial volume
         geom, sume = svr_core.build_geometry(
             ctx, recon_w2i_j, jnp.asarray(transforms, jnp.float32),
-            slice_i2w_j, dims_j, valid)
+            slice_i2w_j, dims_j, valid, mask_flat)
         em = svr_core.init_em_state(n, valid)
         recon, vol_weights, voxel_count = svr_core.gaussian_reconstruction(
             ctx, geom, sume, slices_j, valid, em.bias, em.scale, mask_flat)
@@ -384,27 +431,17 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                                excluded)
         stats.sample("simulate+estep")
 
+        do_bias = (cfg.intensity_matching
+                   and not cfg.disable_bias_correction and cfg.sigma > 0)
+        do_nbias = do_bias and not cfg.global_bias_correction
         for sr_it in range(rec_iterations):
-            if cfg.intensity_matching:
-                if not cfg.disable_bias_correction and cfg.sigma > 0:
-                    em = svr_core.bias_step(ctx, slices_j, valid, sume,
-                                            sim_state, em)
-                em = svr_core.scale_step(ctx, slices_j, valid, sume,
-                                         sim_state, em)
-            recon, cmap = svr_core.superresolution_step(
+            em, sim_state, recon = svr_core.inner_iteration(
                 ctx, geom, sume, slices_j, valid, em, sim_state, recon,
-                mask_flat, alpha, lam, min_i, max_i)
-            if (cfg.intensity_matching and not cfg.disable_bias_correction
-                    and cfg.sigma > 0 and not cfg.global_bias_correction):
-                recon = svr_core.normalise_bias_step(
-                    ctx, geom, sume, valid, em, recon, vol_weights,
-                    mask_j, mask_flat)
-            sim_state = svr_core.simulate(ctx, geom, sume, recon,
-                                          mask_flat)
-            em = svr_core.mstep(ctx, slices_j, valid, sume, sim_state, em,
-                                sr_it + 1)
-            em, _ = svr_core.estep(ctx, slices_j, valid, sume, sim_state,
-                                   em, excluded)
+                vol_weights, mask_j, mask_flat, excluded,
+                jnp.float32(alpha), jnp.float32(lam), jnp.float32(min_i),
+                jnp.float32(max_i), jnp.int32(sr_it + 1),
+                do_bias=do_bias, do_scale=cfg.intensity_matching,
+                do_normalise_bias=do_nbias)
         stats.sample("superresolution loop")
 
         recon = mask_volume(recon, mask_j)
@@ -425,4 +462,5 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     return SVRResult(reconstructed=out, transforms=transforms,
                      slice_weights=np.asarray(em.slice_weight),
                      stack_factors=stack_factors, stats=stats,
-                     excluded_slices=list(np.nonzero(small_slices)[0]))
+                     excluded_slices=list(np.nonzero(small_slices)[0]),
+                     slice_inside=np.asarray(sim_state.slice_inside))

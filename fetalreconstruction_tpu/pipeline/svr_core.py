@@ -77,12 +77,15 @@ def slice_forward_matrices(recon_w2i, transforms, slice_i2w):
 
 @partial(jax.jit, static_argnames=("ctx",))
 def build_geometry(ctx: SVRContext, recon_w2i, transforms, slice_i2w,
-                   slice_dims, valid):
+                   slice_dims, valid, mask_flat=None):
     """Recompute geometry + PSF sums after a transform update
-    (replaces the reference's CoeffInit / on-the-fly pass 1)."""
+    (replaces the reference's CoeffInit / on-the-fly pass 1).
+
+    mask_flat is only used by the fast engine (cached conv(mask))."""
     fwd = slice_forward_matrices(recon_w2i, transforms, slice_i2w)
     if ctx.fast is not None:
-        geom = psf_fast.make_fast_geom(ctx.fast, fwd, valid, ctx.vol_shape)
+        geom = psf_fast.make_fast_geom(ctx.fast, fwd, valid, ctx.vol_shape,
+                                       mask_flat)
         return geom, geom.sume
     geom = psf_ops.make_slice_geom(fwd, slice_dims, valid)
     sume = psf_ops.psf_sums(geom, ctx.offsets, ctx.vol_shape)
@@ -276,3 +279,83 @@ def normalise_bias_step(ctx: SVRContext, geom, sume, valid, em: EMState,
         vol_weights, mask, mask_flat, ctx.vol_shape, ctx.sigma_bias,
         ctx.vol_spacing)
     return recon
+
+
+@partial(jax.jit, static_argnames=("ctx", "do_bias", "do_scale",
+                                   "do_normalise_bias"),
+         donate_argnums=(5, 6, 7))
+def inner_iteration(ctx: SVRContext, geom, sume, slices, valid,
+                    em: EMState, sim_state: SimState, recon, vol_weights,
+                    mask, mask_flat, excluded, alpha, lam, min_intensity,
+                    max_intensity, sr_iteration,
+                    do_bias: bool = False, do_scale: bool = True,
+                    do_normalise_bias: bool = False):
+    """One fused inner SR/EM iteration (reconstruction.cc:1013-1110):
+    [bias], [scale], superresolution+regularize, [normalise bias],
+    simulate, M-step, E-step — a single XLA program with donated EM/sim/
+    recon buffers."""
+    gated = valid & (sume > 0)
+    if do_bias:
+        b = bias_mod.bias_step(slices, gated, em.bias, em.scale,
+                               em.weights, sim_state.sim, sim_state.simw,
+                               ctx.sigma_bias, ctx.slice_spacing_xy,
+                               ctx.global_bias_correction)
+        em = em._replace(bias=b)
+    if do_scale:
+        em = em._replace(scale=robust.scale_step(
+            slices, gated, em.bias, em.weights, sim_state.sim,
+            sim_state.simw))
+
+    # --- superresolution + regularization
+    if ctx.fast is not None:
+        if ctx.disable_bias:
+            s = slices * em.scale[:, None, None]
+        else:
+            s = robust.corrected_slice(slices, em.bias, em.scale)
+        resid = jnp.where(sim_state.sim > 0.0, s - sim_state.sim, 0.0)
+        wfac = em.weights * em.slice_weight[:, None, None]
+        addon, cmap = psf_fast.fast_scatter2(
+            ctx.fast, geom, jnp.where(gated, resid * wfac, 0.0),
+            jnp.where(gated, wfac, 0.0), mask_flat.reshape(ctx.vol_shape),
+            ctx.vol_shape)
+    else:
+        addon, cmap = sr.sr_accumulate(
+            geom, ctx.offsets, sume, slices, valid, em.bias, em.scale,
+            em.weights, em.slice_weight, sim_state.sim, mask_flat,
+            ctx.vol_shape, ctx.disable_bias)
+    original = recon
+    recon, cmap = sr.apply_addon(recon, addon, cmap, alpha, min_intensity,
+                                 max_intensity, ctx.adaptive)
+    recon = sr.adaptive_regularization(recon, original, cmap, alpha, lam,
+                                       ctx.delta)
+    if do_normalise_bias:
+        recon = normalise_bias_step.__wrapped__(
+            ctx, geom, sume, valid, em, recon, vol_weights, mask,
+            mask_flat)
+
+    # --- simulate + M/E steps
+    if ctx.fast is not None:
+        sim, simw, inside = psf_fast.fast_simulate(
+            ctx.fast, geom, recon, mask_flat.reshape(ctx.vol_shape),
+            ctx.vol_shape)
+    else:
+        sim, simw, inside = psf_ops.psf_gather(
+            geom, ctx.offsets, sume, recon.reshape(-1), mask_flat,
+            ctx.vol_shape)
+    sim_state = SimState(sim=sim, simw=simw, inside=inside,
+                         slice_inside=jnp.any(inside, axis=(1, 2)))
+    sigma2, mix, m = robust.mstep(
+        slices, gated, em.bias, em.scale, em.weights, sim_state.sim,
+        sim_state.simw, sr_iteration, em.mix)
+    em = em._replace(sigma2=sigma2.astype(jnp.float32),
+                     mix=mix.astype(jnp.float32), m=m.astype(jnp.float32))
+    weights, potential = robust.voxel_estep(
+        slices, gated, em.bias, em.scale, sim_state.sim, sim_state.simw,
+        em.sigma2, em.m, em.mix)
+    bad_scale = (em.scale < 0.2) | (em.scale > 5.0)
+    potential = jnp.where(excluded | bad_scale, -1.0, potential)
+    slice_weight, stats = robust.slice_estep(potential, em.slice_weight,
+                                             em.mix_s)
+    em = em._replace(weights=weights, slice_weight=slice_weight,
+                     mix_s=stats["mix_s"])
+    return em, sim_state, recon

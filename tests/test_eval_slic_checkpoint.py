@@ -101,3 +101,26 @@ def test_checkpoint_round_trip(tmp_path):
     assert np.allclose(back["transforms"], tr)
     assert np.allclose(back["slice_weights"], sw)
     assert float(back["sigma2"]) == 12.5
+
+
+def test_bspline_reconstruction_fits_smooth_field():
+    from fetalreconstruction_tpu.sr.bspline import bspline_reconstruct
+    rng = np.random.default_rng(5)
+    shape = (16, 18, 20)
+    zs, ys, xs = shape
+    # smooth ground truth field
+    z, y, x = np.meshgrid(np.arange(zs), np.arange(ys), np.arange(xs),
+                          indexing="ij")
+    gt = (30 + 20 * np.sin(x / 5.0) + 10 * np.cos(y / 4.0)
+          + 5 * np.sin(z / 3.0)).astype(np.float32)
+    # scattered samples
+    m = 4000
+    px = rng.uniform(0, xs - 1, m)
+    py = rng.uniform(0, ys - 1, m)
+    pz = rng.uniform(0, zs - 1, m)
+    from scipy.ndimage import map_coordinates
+    vals = map_coordinates(gt, np.stack([pz, py, px]), order=1)
+    pts = np.stack([px, py, pz], -1)
+    out = np.asarray(bspline_reconstruct(pts, vals, shape, levels=4))
+    err = np.abs(out[2:-2, 2:-2, 2:-2] - gt[2:-2, 2:-2, 2:-2])
+    assert err.mean() < 1.5, f"bspline fit error {err.mean()}"

@@ -22,7 +22,7 @@ from phantom import make_ground_truth, simulate_stacks, mask_slices, \
 @pytest.fixture(scope="module")
 def setup():
     assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
-    gt = make_ground_truth(n=24, spacing=2.0)
+    gt = make_ground_truth(n=20, spacing=2.4)
     stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.5, dz=4.0,
                                 noise=1.0)
     batch = mask_slices(create_slices(stacks, [8.0, 8.0]))

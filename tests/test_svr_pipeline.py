@@ -47,10 +47,19 @@ def _small_cfg(**kw):
     return SVRConfig(**base)
 
 
-def test_full_pipeline_runs_and_reconstructs(data):
+@pytest.fixture(scope="module")
+def results(data):
     gt, stacks, mask_img = data
-    cfg = _small_cfg()
-    res = run_svr(cfg, stacks=stacks, mask=mask_img)
+    out = {}
+    for iters in (1, 2):
+        cfg = _small_cfg(iterations=iters)
+        out[iters] = run_svr(cfg, stacks=stacks, mask=mask_img)
+    return out
+
+
+def test_full_pipeline_runs_and_reconstructs(data, results):
+    gt, stacks, mask_img = data
+    res = results[2]
     out = res.reconstructed
     assert out.data.shape == out.attr.shape_zyx
     assert np.all(np.isfinite(out.data))
@@ -73,14 +82,12 @@ def test_full_pipeline_runs_and_reconstructs(data):
     assert np.all(res.slice_weights >= 0) and np.all(res.slice_weights <= 1)
 
 
-def test_registration_improves_over_no_registration(data):
+def test_registration_improves_over_no_registration(data, results):
     gt, stacks, mask_img = data
-    gt_grid = None
     outs = {}
     for iters in (1, 2):
         # iterations=1 -> no registration pass at all
-        cfg = _small_cfg(iterations=iters)
-        res = run_svr(cfg, stacks=stacks, mask=mask_img)
+        res = results[iters]
         out = res.reconstructed
         gt_on = np.asarray(resample_to_grid(
             jnp.asarray(gt.data), jnp.asarray(gt.attr.w2i(), jnp.float32),

@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--useGPUReg", action="store_true")
     p.add_argument("--useAutoTemplate", action="store_true")
     p.add_argument("--num_stacks_tuner", type=int, default=0)
+    p.add_argument("--sfolder", default="",
+                   help="Folder with replacement slices")
+    p.add_argument("--referenceVolume", default="",
+                   help="Reference volume (seeds reconstruction; "
+                        "required by --T1PackageSize)")
+    p.add_argument("--T1PackageSize", type=int, default=0)
     p.add_argument("--tfolder", default="",
                    help="Folder with per-slice transformation%%i.dof files")
     p.add_argument("--engine", choices=["fast", "exact"], default="fast",
@@ -98,6 +104,9 @@ def main(argv=None) -> int:
         disable_bias_correction=args.disableBiasCorrection,
         use_nmi=args.useNMI,
         tfolder=args.tfolder,
+        sfolder=args.sfolder,
+        reference_volume=args.referenceVolume,
+        t1_package_size=args.T1PackageSize,
         force_excluded=args.force_exclude,
         debug=args.debug,
         log_prefix=args.log_prefix,

@@ -45,6 +45,10 @@ class SVRConfig:
     use_auto_template: bool = False
     tfolder: str = ""             # per-slice .dof resume folder
     reference_volume: str = ""    # seed volume; registration runs at iter 0
+    t1_package_size: int = 0      # --T1PackageSize: split stacks into
+                                  # packages registered to the reference
+                                  # volume (T1->T2 path, cc:494-556)
+    sfolder: str = ""             # --sfolder: replace slices from folder
 
     # engine knobs (TPU-side, no reference analog)
     engine: str = "fast"          # "fast" (TPU conv+trilinear) | "exact"

@@ -180,6 +180,23 @@ def mask_slices(batch: SliceBatch, transforms: np.ndarray,
         batch.data[i, :a.y, :a.x] = sl.reshape(a.y, a.x)
 
 
+def replace_slices(folder: str, batch) -> "SliceBatch":
+    """--sfolder (replaceSlices, irtkReconstructionGPU.cc:4767): replace
+    slice data with pre-transformed slices read from a folder (sorted
+    order); slice geometry/transform bookkeeping is preserved."""
+    import os
+    files = sorted(os.path.join(folder, f) for f in os.listdir(folder)
+                   if f.endswith((".nii", ".nii.gz")))
+    for i, f in enumerate(files[:batch.n_slices]):
+        img = read_nifti(f)
+        d = img.data[0] if img.data.ndim == 3 else img.data
+        h = min(d.shape[0], batch.data.shape[1])
+        w = min(d.shape[1], batch.data.shape[2])
+        batch.data[i, :, :] = -1.0
+        batch.data[i, :h, :w] = d[:h, :w]
+    return batch
+
+
 # ---------------------------------------------------------------------------
 # the full pipeline
 # ---------------------------------------------------------------------------
@@ -214,14 +231,21 @@ class SVRResult:
 def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
             mask: Optional[Image] = None,
             slice_factory=None,
-            reference_volume: Optional[Image] = None) -> SVRResult:
+            reference_volume: Optional[Image] = None,
+            mesh=None) -> SVRResult:
     """slice_factory (optional): callable(cropped_stacks, thickness,
     recon_mask_img, stack_transforms) -> SliceBatch, used by the PVR
     pipeline to substitute patches for whole slices.
 
     reference_volume (optional, or cfg.reference_volume path): seeds the
     initial reconstruction, and registration then runs already at
-    iteration 0 (reconstruction.cc:254-258, 826)."""
+    iteration 0 (reconstruction.cc:254-258, 826).
+
+    mesh (optional jax.sharding.Mesh with a "slices" axis): shards the
+    slice batch over devices; XLA GSPMD partitions every jitted stage and
+    inserts the psum collectives (the explicitly-written shard_map path in
+    parallel/sharded.py is the validated equivalent).  The slice count is
+    padded to a mesh multiple with invalid slices."""
     stats = PerfStats()
 
     # ----- load inputs ----------------------------------------------------
@@ -248,6 +272,24 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         for i, f in enumerate(cfg.transformation_files[:n_stacks]):
             if f and f != "id":
                 stack_transforms[i] = invert_rigid(read_dof(f))
+
+    # --T1PackageSize: split every stack into packages and register those
+    # to the external (T2) reference volume (reconstruction.cc:494-556)
+    external_target = None
+    if cfg.t1_package_size > 0:
+        from ..register.package import split_image
+        if reference_volume is None and cfg.reference_volume:
+            reference_volume = read_nifti(cfg.reference_volume)
+        if reference_volume is None:
+            raise ValueError("--T1PackageSize requires a reference volume")
+        external_target = reference_volume
+        pkg_stacks = []
+        for st in stacks:
+            pkg_stacks.extend(split_image(st, cfg.t1_package_size))
+        stacks = pkg_stacks
+        n_stacks = len(stacks)
+        thickness = [2.0 * s.attr.dz for s in stacks]
+        stack_transforms = np.tile(np.eye(4), (n_stacks, 1, 1))
     stats.sample("load")
 
     # ----- mask prep + template grid --------------------------------------
@@ -262,15 +304,18 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     stats.sample("template+mask")
 
     # ----- stack registrations x2, crop, intensity matching ---------------
-    stack_transforms = stack_registrations(stacks, tmpl,
-                                           mask=None)
+    stack_transforms = stack_registrations(
+        stacks, tmpl, mask=None, external_template=external_target,
+        use_nmi=cfg.use_nmi or external_target is not None)
     for i in range(n_stacks):
         if i == tmpl:
             continue
         mi = transform_mask(stacks[i], recon_mask_img, stack_transforms[i])
         stacks[i] = crop_image(stacks[i], mi)
-    stack_transforms = stack_registrations(stacks, tmpl, mask=None,
-                                           init_transforms=stack_transforms)
+    stack_transforms = stack_registrations(
+        stacks, tmpl, mask=None, init_transforms=stack_transforms,
+        external_template=external_target,
+        use_nmi=cfg.use_nmi or external_target is not None)
     stats.sample("stack registration")
 
     stack_factors = match_stack_intensities(
@@ -284,6 +329,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                               stack_transforms)
     else:
         batch = create_slices(stacks, thickness)
+    if cfg.sfolder:
+        batch = replace_slices(cfg.sfolder, batch)
     n = batch.n_slices
     transforms = np.stack([stack_transforms[batch.stack_index[i]]
                            for i in range(n)]).astype(np.float64)
@@ -312,10 +359,36 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         low_intensity_cutoff=cfg.low_intensity_cutoff,
         fast=fast)
 
-    slices_j = jnp.asarray(batch.data)
-    valid = jnp.asarray(batch.data != -1.0)
-    slice_i2w_j = jnp.asarray(batch.i2w, jnp.float32)
-    dims_j = jnp.asarray(batch.dims)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharded import pad_slices_for_mesh
+        n_dev = mesh.devices.size
+        n_pad = pad_slices_for_mesh(batch.n_slices, n_dev)
+        if n_pad > batch.n_slices:
+            extra = n_pad - batch.n_slices
+            batch.data = np.concatenate(
+                [batch.data,
+                 np.full((extra,) + batch.data.shape[1:], -1.0,
+                         np.float32)])
+            batch.i2w = np.concatenate(
+                [batch.i2w, np.tile(np.eye(4), (extra, 1, 1))])
+            batch.dims = np.concatenate(
+                [batch.dims, np.tile(batch.dims[-1:], (extra, 1))])
+            batch.stack_index = np.concatenate(
+                [batch.stack_index,
+                 np.full((extra,), batch.stack_index[-1], np.int32)])
+            transforms = np.concatenate(
+                [transforms, np.tile(np.eye(4), (extra, 1, 1))])
+            n = n_pad
+        shard = NamedSharding(mesh, P("slices"))
+        place = lambda a: jax.device_put(a, shard)
+    else:
+        place = lambda a: a
+
+    slices_j = place(jnp.asarray(batch.data))
+    valid = place(jnp.asarray(batch.data != -1.0))
+    slice_i2w_j = place(jnp.asarray(batch.i2w, jnp.float32))
+    dims_j = place(jnp.asarray(batch.dims))
     recon_w2i_j = jnp.asarray(recon_attr.w2i(), jnp.float32)
     mask_j = jnp.asarray(recon_mask_img.data)
     mask_flat = mask_j.reshape(-1)

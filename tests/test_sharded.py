@@ -124,3 +124,31 @@ def test_sharded_matches_single_device(setup):
                        np.asarray(em_ref.slice_weight), atol=1e-3)
     assert np.allclose(np.asarray(sim1_s.sim), np.asarray(sim_ref.sim),
                        atol=2e-2)
+
+
+@pytest.mark.slow
+def test_pipeline_mesh_mode_matches_single_device():
+    """run_svr(mesh=...) (GSPMD data placement) must reproduce the
+    single-device pipeline result."""
+    from fetalreconstruction_tpu.pipeline.config import SVRConfig
+    from fetalreconstruction_tpu.pipeline.svr import run_svr
+    from phantom import make_ground_truth, simulate_stacks
+    from fetalreconstruction_tpu.core.image import Image
+
+    gt = make_ground_truth(n=20, spacing=2.4)
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.5, dz=4.0,
+                                noise=1.0)
+    mask_img = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
+    cfg = SVRConfig(iterations=1, resolution=2.4, rec_iterations_first=2,
+                    rec_iterations_last=2, smooth_mask=2.0,
+                    multires_levels=2, engine="exact", max_psf_support=8)
+    r_single = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
+                                    for s in stacks], mask=mask_img)
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    r_mesh = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
+                                  for s in stacks], mask=mask_img,
+                     mesh=mesh)
+    a = r_single.reconstructed.data
+    b = r_mesh.reconstructed.data
+    assert a.shape == b.shape
+    assert np.allclose(a, b, atol=5e-2), np.abs(a - b).max()

@@ -63,6 +63,39 @@ def read_nifti(path: str) -> Image:
     return Image(arr, attr)
 
 
+def read_stacks(paths, nthreads: int = 0):
+    """Threaded multi-stack loader (native data-loader tier).
+
+    Reads + inflates all files in parallel via native/csrc/niftiz.cc
+    (fr_nz_read_many), then parses each in Python; falls back to
+    sequential read_nifti when the native tier is unavailable.  This is
+    the TPU-framework analog of the reference's stack-loading loop
+    (reconstruction.cc:272-318 over niftilib).
+    """
+    from .. import native
+    bufs = native.read_bytes_many(paths, nthreads)
+    if bufs is None:
+        return [read_nifti(p) for p in paths]
+    out = []
+    for p, raw in zip(paths, bufs):
+        if raw is None:
+            out.append(read_nifti(p))  # per-file fallback
+            continue
+        data, affine, hdr = nifti1.load_bytes(raw)
+        data = np.asarray(data).astype(np.float32)
+        if data.ndim == 3:
+            arr = np.ascontiguousarray(data.transpose(2, 1, 0))
+        else:
+            arr = np.ascontiguousarray(data.transpose(3, 2, 1, 0))
+        attr = affine_to_attr(np.asarray(affine, dtype=np.float64),
+                              data.shape[:3])
+        if data.ndim == 4:
+            attr.t = data.shape[3]
+            attr.dt = float(abs(hdr.pixdim[4])) or 1.0
+        out.append(Image(arr, attr))
+    return out
+
+
 def write_nifti(img: Image, path: str, dtype=np.float32) -> None:
     affine = attr_to_affine(img.attr)
     if img.data.ndim == 3:

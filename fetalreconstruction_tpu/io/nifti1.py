@@ -13,6 +13,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .. import native
+
 _HDR_SIZE = 348
 
 # NIfTI-1 datatype codes -> numpy dtypes
@@ -99,9 +101,16 @@ def load(path: str):
     Returns (data, affine, header) with data in fortran-ish [x,y,z,(t)]
     axis order (axis 0 = x, fastest-varying in the file).
     """
-    opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "rb") as f:
-        raw = f.read()
+    raw = native.read_bytes(path)
+    if raw is None:
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rb") as f:
+            raw = f.read()
+    return load_bytes(raw)
+
+
+def load_bytes(raw: bytes):
+    """Parse an (already decompressed) NIfTI-1 byte stream."""
     h = _parse_header(raw[:_HDR_SIZE])
     ndim = int(h.dim[0])
     shape = tuple(int(s) for s in h.dim[1:1 + ndim])
@@ -218,6 +227,9 @@ def save(path: str, data: np.ndarray, affine: np.ndarray) -> None:
     hdr[280:328] = affine[:3, :].astype("<f4").tobytes()
     hdr[344:348] = b"n+1\x00"
     payload = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
-    opener = gzip.open if str(path).endswith(".gz") else open
+    gz = str(path).endswith(".gz")
+    if native.write_bytes(path, payload, gzip_frame=gz):
+        return
+    opener = gzip.open if gz else open
     with opener(path, "wb") as f:
         f.write(payload)

@@ -43,6 +43,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_intensity_matching", action="store_true")
     p.add_argument("--log_prefix", default="")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--debug_gpu", action="store_true",
+                   help="Debug device-side results (alias of --debug)")
+    p.add_argument("--patchBased", action="store_true",
+                   help="Experimental patch-based slice mode")
+    p.add_argument("--patchSize", type=int, default=64)
+    p.add_argument("--patchStride", type=int, default=32)
+    p.add_argument("--superpixelBased", action="store_true",
+                   help="Experimental superpixel-based slice mode")
+    p.add_argument("-s", "--superpixel", type=float, default=0.0,
+                   help="[noLabels] number of superpixels per slice")
+    p.add_argument("--manualMask", default="",
+                   help="Per-slice manual mask of the FIRST stack; pushed "
+                        "through the PSF into recon space at the end")
     p.add_argument("--rec_iterations_first", type=int, default=4)
     p.add_argument("--rec_iterations_last", type=int, default=13)
     p.add_argument("--disableBiasCorrection", action="store_true",
@@ -112,12 +125,26 @@ def main(argv=None) -> int:
         log_prefix=args.log_prefix,
         save_slice_transformations=args.saveSliceTransformations,
         use_auto_template=args.useAutoTemplate,
-        engine=args.engine)
+        engine=args.engine,
+        patch_based=args.patchBased,
+        patch_size=args.patchSize,
+        patch_stride=args.patchStride,
+        superpixel_based=args.superpixelBased,
+        num_superpixels=args.superpixel,
+        manual_mask=args.manualMask)
+    cfg.debug = cfg.debug or args.debug_gpu
     cfg.transformation_files = args.transformations
 
     result = run_svr(cfg)
     write_nifti(result.reconstructed, cfg.output)
     print(f"wrote {cfg.output}")
+
+    if result.manual_mask_volume is not None:
+        import os
+        d, b = os.path.split(args.manualMask)
+        mpath = os.path.join(d, "PSFTransformed_" + b)
+        write_nifti(result.manual_mask_volume, mpath)
+        print(f"wrote {mpath}")
 
     if args.saveSliceTransformations:
         from ..io.dof import save_transformations

@@ -128,14 +128,22 @@ def extract_superpixel_patches(stacks: List[Image], thickness: List[float],
                                spx_size: int = 64, spx_extend: int = 8,
                                compactness: float = 10.0,
                                dilation_iters: int = 8,
-                               max_patch: int = 64) -> SliceBatch:
+                               max_patch: int = 64,
+                               num_superpixels: Optional[int] = None
+                               ) -> SliceBatch:
     """Superpixel patches: per label, bbox + extend, dilated-label validity
-    (CreateSlicesAndTransformationsSuperpixelBased)."""
+    (CreateSlicesAndTransformationsSuperpixelBased).
+
+    num_superpixels (optional): explicit label count per slice (the SVR
+    tool's --superpixel [noLabels] flag, reconstruction.cc:207); default
+    derives it from spx_size (the PVR --spxSize convention)."""
     datas, attrs, sidx, dims = [], [], [], []
     struct = ndimage.generate_binary_structure(2, 2)  # 8-connectivity
     for s, st in enumerate(stacks):
         a = st.attr
-        num_spx = max(int((a.x * a.y) / float(spx_size * spx_size)), 4)
+        num_spx = (int(num_superpixels) if num_superpixels
+                   else max(int((a.x * a.y) / float(spx_size * spx_size)),
+                            4))
         for z in range(a.z):
             sdata = st.data[z]
             labels = slic_labels(sdata, compactness=compactness,

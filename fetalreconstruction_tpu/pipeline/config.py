@@ -50,6 +50,16 @@ class SVRConfig:
                                   # volume (T1->T2 path, cc:494-556)
     sfolder: str = ""             # --sfolder: replace slices from folder
 
+    # experimental patch/superpixel slice modes of the SVR tool
+    # (reconstruction.cc:200-209, CreateSlicesAndTransformations*Based)
+    patch_based: bool = False     # --patchBased
+    patch_size: int = 64          # --patchSize
+    patch_stride: int = 32        # --patchStride
+    superpixel_based: bool = False  # --superpixelBased
+    num_superpixels: float = 0.0  # --superpixel [noLabels]; 0 = auto
+    manual_mask: str = ""         # --manualMask: per-slice segmentation
+                                  # pushed through the PSF at the end
+
     # engine knobs (TPU-side, no reference analog)
     engine: str = "fast"          # "fast" (TPU conv+trilinear) | "exact"
     max_psf_support: int = 12

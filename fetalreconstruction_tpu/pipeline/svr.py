@@ -210,6 +210,7 @@ class SVRResult:
     stats: PerfStats
     excluded_slices: List[int]
     slice_inside: Optional[np.ndarray] = None  # (N,) bool
+    manual_mask_volume: Optional[Image] = None  # --manualMask output
 
     def inclusion_report(self) -> str:
         """Included/excluded/outside slice lists (Evaluate,
@@ -292,6 +293,12 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         stack_transforms = np.tile(np.eye(4), (n_stacks, 1, 1))
     stats.sample("load")
 
+    # --manualMask: per-slice segmentation of the FIRST stack, pushed
+    # through the PSF at the end (reconstruction.cc:261-264, 1240-1249)
+    manual_img = None
+    if cfg.manual_mask:
+        manual_img = read_nifti(cfg.manual_mask)
+
     # ----- mask prep + template grid --------------------------------------
     if mask is None:
         mask = create_mask_from_overlap(stacks)
@@ -299,6 +306,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     m_tmpl = transform_mask(stacks[tmpl], mask,
                             stack_transforms[tmpl])
     stacks[tmpl] = crop_image(stacks[tmpl], m_tmpl)
+    if manual_img is not None and tmpl == 0:
+        manual_img = crop_image(manual_img, m_tmpl)
     recon_attr = create_template(stacks[tmpl], cfg.resolution)
     recon_mask_img = set_mask(mask, recon_attr, cfg.smooth_mask)
     stats.sample("template+mask")
@@ -312,6 +321,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
             continue
         mi = transform_mask(stacks[i], recon_mask_img, stack_transforms[i])
         stacks[i] = crop_image(stacks[i], mi)
+        if manual_img is not None and i == 0:
+            manual_img = crop_image(manual_img, mi)
     stack_transforms = stack_registrations(
         stacks, tmpl, mask=None, init_transforms=stack_transforms,
         external_template=external_target,
@@ -324,6 +335,24 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     stats.sample("intensity matching")
 
     # ----- slices / patches ----------------------------------------------
+    # experimental patch / superpixel slice modes of the SVR tool
+    # (reconstruction.cc:733-747)
+    if slice_factory is None and cfg.patch_based:
+        from ..patches.extract import extract_patches
+
+        def slice_factory(st, th, m, tr):
+            return extract_patches(st, th, cfg.patch_size,
+                                   cfg.patch_stride, mask=m,
+                                   stack_transforms=tr)
+    elif slice_factory is None and cfg.superpixel_based:
+        from ..patches.slic import extract_superpixel_patches
+
+        def slice_factory(st, th, m, tr):
+            # the SVR tool runs SLIC with compactness 1 and an explicit
+            # label count (reconstruction.cc:311-316)
+            return extract_superpixel_patches(
+                st, th, compactness=1.0,
+                num_superpixels=int(cfg.num_superpixels) or None)
     if slice_factory is not None:
         batch = slice_factory(stacks, thickness, recon_mask_img,
                               stack_transforms)
@@ -531,9 +560,28 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     recon = jnp.where(recon > 0, recon * scale, recon)
     stats.sample("restore+scale")
 
+    # --manualMask: push the first stack's manual segmentation through the
+    # PSF with the final geometry (transformManualMaskwithPSF, .cc:4824)
+    manual_vol = None
+    if manual_img is not None:
+        from ..ops.manual_mask import transform_manual_mask
+        mslices = np.zeros_like(batch.data)
+        idx0 = np.nonzero(batch.stack_index == 0)[0]
+        for j, k in enumerate(idx0[:manual_img.attr.z]):
+            im = manual_img.data[j]
+            mslices[k, :im.shape[0], :im.shape[1]] = im
+        # normalize over the mask-carrying (first-stack) slices only
+        valid0 = valid & jnp.asarray(batch.stack_index == 0)[:, None, None]
+        mvol = transform_manual_mask(ctx, geom, sume,
+                                     jnp.asarray(mslices), valid0,
+                                     mask_flat)
+        manual_vol = Image(np.asarray(mvol), recon_attr.copy())
+        stats.sample("manual mask transform")
+
     out = Image(np.asarray(recon), recon_attr.copy())
     return SVRResult(reconstructed=out, transforms=transforms,
                      slice_weights=np.asarray(em.slice_weight),
                      stack_factors=stack_factors, stats=stats,
                      excluded_slices=list(np.nonzero(small_slices)[0]),
-                     slice_inside=np.asarray(sim_state.slice_inside))
+                     slice_inside=np.asarray(sim_state.slice_inside),
+                     manual_mask_volume=manual_vol)

@@ -48,9 +48,9 @@ class FastGeom(NamedTuple):
     xp:    (N, H, W, 3) f32  continuous volume position F_s p (x, y, z)
     valid: (N, H, W)   bool
     sume:  (N, H, W)   f32   PSF normalization (conv(1))(xp), 0-gated
-    cmask: (S, Z, Y, X) f32  per-stack conv(mask) — mask is constant per
-           run, so these fields are cached at geometry build and reused by
-           every simulate call
+    cmask: (S, R, 8) f32  per-stack corner SHINGLE (make_shingle) of
+           conv(mask) — mask is constant per run, so these tables are
+           cached at geometry build and reused by every simulate call
     """
     xp: jax.Array
     valid: jax.Array
@@ -173,66 +173,128 @@ def conv_separable(vol, terms, flip: bool = False):
     return out
 
 
-def trilinear_gather(vol, xp):
-    """Trilinear sample [z,y,x] volume at (..., 3) continuous (x,y,z);
-    zero outside."""
-    zs, ys, xs = vol.shape
+def make_shingle(vols):
+    """Stack volumes into a corner-shingled table for fast gathers.
+
+    vols: sequence of P [z,y,x] arrays (same shape).  Returns
+    ((zs+1)(ys+1)(xs+1), 8*P) f32 where row r = voxel (z,y,x) with a ONE
+    VOXEL FRONT HALO (row index = ((z+1)(ys+1) + y+1)(xs+1) + x+1, so
+    floor index -1 is a valid row) holding, for each volume, the 2x2x2
+    corner window starting at that voxel; zero outside the volume on both
+    sides.  One width-8P row gather then replaces 8P scalar takes per
+    sample — the XLA TPU row-gather fast path is ~7x faster than eight
+    width-1 takes (measured on v5e: 28M takes 0.22s vs 3.5M width-16 rows
+    0.03s).
+    """
+    zs, ys, xs = vols[0].shape
+    cols = []
+    for vol in vols:
+        for cw in (0, 1):
+            for cv in (0, 1):
+                for cu in (0, 1):
+                    # window value at padded-row voxel (z,y,x) = vol[z+cw,
+                    # y+cv, x+cu]; rows start at voxel -1 per axis.
+                    sh = jnp.pad(vol, ((1 - cw, cw), (1 - cv, cv),
+                                       (1 - cu, cu)))
+                    cols.append(sh.reshape(-1))
+    return jnp.stack(cols, axis=-1)
+
+
+def _corner_weights(xp):
+    """floor indices + per-corner trilinear weights for (...,3) positions.
+
+    Returns (ui, vi, wi, wts) with wts shaped (..., 8) ordered to match
+    make_shingle's corner order ((cw, cv, cu) lexicographic).
+    """
     x, y, z = xp[..., 0], xp[..., 1], xp[..., 2]
     u = jnp.floor(x); v = jnp.floor(y); w = jnp.floor(z)
     du = x - u; dv = y - v; dw = z - w
-    ui = u.astype(jnp.int32); vi = v.astype(jnp.int32)
-    wi = w.astype(jnp.int32)
-    flat = vol.reshape(-1)
-    out = jnp.zeros_like(x)
-    for cu in (0, 1):
+    wts = []
+    for cw in (0, 1):
         for cv in (0, 1):
-            for cw in (0, 1):
-                wt = ((du if cu else 1 - du) * (dv if cv else 1 - dv)
-                      * (dw if cw else 1 - dw))
-                iu, iv, iw = ui + cu, vi + cv, wi + cw
-                inb = ((iu >= 0) & (iu < xs) & (iv >= 0) & (iv < ys)
-                       & (iw >= 0) & (iw < zs))
-                lin = jnp.clip(iw * (ys * xs) + iv * xs + iu, 0)
-                val = jnp.take(flat, lin.reshape(-1),
-                               axis=0).reshape(lin.shape)
-                out = out + jnp.where(inb, wt * val, 0.0)
+            for cu in (0, 1):
+                wts.append((du if cu else 1 - du) * (dv if cv else 1 - dv)
+                           * (dw if cw else 1 - dw))
+    return (u.astype(jnp.int32), v.astype(jnp.int32), w.astype(jnp.int32),
+            jnp.stack(wts, axis=-1))
+
+
+def shingle_gather(shingle, xp, vol_shape, n_vols=1):
+    """Trilinear sample from a make_shingle table at (..., 3) (x,y,z).
+
+    Returns a tuple of n_vols arrays shaped xp.shape[:-1].  Exactly
+    equivalent to per-corner masked takes (partial sums at the volume
+    boundary included — the halo rows carry the correct mixed
+    in/out-of-bounds windows).
+    """
+    zs, ys, xs = vol_shape
+    ui, vi, wi, wts = _corner_weights(xp)
+    inb = ((ui >= -1) & (ui < xs) & (vi >= -1) & (vi < ys)
+           & (wi >= -1) & (wi < zs))
+    lin = ((wi + 1) * (ys + 1) + (vi + 1)) * (xs + 1) + (ui + 1)
+    lin = jnp.clip(lin, 0, shingle.shape[0] - 1)
+    rows = jnp.take(shingle, lin.reshape(-1), axis=0)
+    rows = rows.reshape(lin.shape + (shingle.shape[-1],))
+    outs = []
+    for p in range(n_vols):
+        vals = rows[..., 8 * p:8 * (p + 1)]
+        outs.append(jnp.where(inb, jnp.sum(vals * wts, axis=-1), 0.0))
+    return tuple(outs)
+
+
+def trilinear_gather(vol, xp):
+    """Trilinear sample [z,y,x] volume at (..., 3) continuous (x,y,z);
+    zero outside.  One-shot convenience wrapper over shingle_gather; hot
+    callers build the shingle once and reuse it."""
+    (out,) = shingle_gather(make_shingle([vol]), xp, vol.shape, 1)
     return out
 
 
 def trilinear_splat2(xp, pay_a, pay_b, vol_shape):
-    """Adjoint of trilinear_gather for TWO payloads at once.
+    """Adjoint of trilinear_gather (shingle_gather) for TWO payloads.
 
-    Both payloads share one index set; they are scattered as (..., 2)
-    updates in a single XLA scatter (complex64 packing would halve the
-    update count but complex scatter-add is UNIMPLEMENTED on the TPU
-    backend).  Returns two [z,y,x] arrays.
+    Parity-blocked width-16 scatter: the volume is viewed, per corner
+    parity s in {0,1}^3, as 2x2x2 blocks of the s-shifted volume
+    V_s[j] = vol[j - s].  A pixel with floor index q (per axis) has
+    q + s_q even for its own parity s_q = q & 1, so its full 2x2x2
+    corner window lands INSIDE block (q + s_q)/2 of V_{s_q}.  All 8
+    trilinear corners x 2 payloads therefore form ONE 16-wide scatter row
+    per pixel; the XLA TPU scatter cost is ~per-row (measured v5e:
+    width-16 112 ns/row vs width-2 85 ns/row), so this runs ~8x fewer
+    rows than the naive 8-corner scatter (measured: 0.46s vs 1.73s for
+    3.5M pixels into 160^3).  Un-blocking is 8 dense transposed adds.
+
+    Exactly matches per-corner-masked scatter-add semantics: rows with
+    floor outside [-1, dim-1] are dropped; boundary corners fall into
+    halo positions of the dense views and are sliced away.
     """
     zs, ys, xs = vol_shape
-    nvox = zs * ys * xs
-    x, y, z = xp[..., 0], xp[..., 1], xp[..., 2]
-    u = jnp.floor(x); v = jnp.floor(y); w = jnp.floor(z)
-    du = x - u; dv = y - v; dw = z - w
-    ui = u.astype(jnp.int32); vi = v.astype(jnp.int32)
-    wi = w.astype(jnp.int32)
-    lins = []
-    vals = []
-    for cu in (0, 1):
-        for cv in (0, 1):
-            for cw in (0, 1):
-                wt = ((du if cu else 1 - du) * (dv if cv else 1 - dv)
-                      * (dw if cw else 1 - dw))
-                iu, iv, iw = ui + cu, vi + cv, wi + cw
-                inb = ((iu >= 0) & (iu < xs) & (iv >= 0) & (iv < ys)
-                       & (iw >= 0) & (iw < zs))
-                lin = jnp.where(inb, iw * (ys * xs) + iv * xs + iu, -1)
-                lins.append(lin.reshape(-1))
-                vals.append(jnp.stack([(wt * pay_a).reshape(-1),
-                                       (wt * pay_b).reshape(-1)], axis=-1))
-    lin_all = jnp.concatenate(lins)
-    val_all = jnp.concatenate(vals)
-    acc = jnp.zeros((nvox, 2), jnp.float32)
-    acc = acc.at[lin_all].add(val_all, mode="drop")
-    return (acc[:, 0].reshape(vol_shape), acc[:, 1].reshape(vol_shape))
+    Bz, By, Bx = (zs + 3) // 2, (ys + 3) // 2, (xs + 3) // 2
+    ui, vi, wi, wts = _corner_weights(xp)
+    inb = ((ui >= -1) & (ui < xs) & (vi >= -1) & (vi < ys)
+           & (wi >= -1) & (wi < zs))
+    sx, sy, sz = ui & 1, vi & 1, wi & 1
+    bx, by, bz = (ui + sx) >> 1, (vi + sy) >> 1, (wi + sz) >> 1
+    par = (sz << 2) | (sy << 1) | sx
+    row = ((par * Bz + bz) * By + by) * Bx + bx
+    row = jnp.where(inb, row, -1).reshape(-1)
+    # wts is ordered (cw, cv, cu); payload axis last -> (..., 8, 2)
+    upd = jnp.stack([wts * pay_a[..., None], wts * pay_b[..., None]],
+                    axis=-1).reshape(-1, 16)
+    acc = jnp.zeros((8 * Bz * By * Bx, 16), jnp.float32)
+    acc = acc.at[row].add(upd, mode="drop")
+    # un-block: dense_s[2b+c] = blocks[b, c]; vol[i] += dense_s[i + s]
+    acc = acc.reshape(8, Bz, By, Bx, 2, 2, 2, 2)
+    out_a = jnp.zeros(vol_shape, jnp.float32)
+    out_b = jnp.zeros(vol_shape, jnp.float32)
+    for p in range(8):
+        szp, syp, sxp = (p >> 2) & 1, (p >> 1) & 1, p & 1
+        dense = acc[p].transpose(0, 4, 1, 5, 2, 6, 3).reshape(
+            2 * Bz, 2 * By, 2 * Bx, 2)
+        sl = dense[szp:szp + zs, syp:syp + ys, sxp:sxp + xs]
+        out_a = out_a + sl[..., 0]
+        out_b = out_b + sl[..., 1]
+    return out_a, out_b
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +355,7 @@ def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape, mask=None):
     for (lo, hi), terms in zip(fast.ranges, fast.terms):
         c1 = conv_separable(ones, terms)
         sume = sume.at[lo:hi].set(trilinear_gather(c1, xp[lo:hi]))
-        cmasks.append(conv_separable(mask, terms))
+        cmasks.append(make_shingle([conv_separable(mask, terms)]))
     sume = jnp.where(valid & (sume > 0.5), sume, 0.0)
     return FastGeom(xp=xp, valid=valid, sume=sume,
                     cmask=jnp.stack(cmasks))
@@ -309,9 +371,11 @@ def fast_simulate(fast: FastPSF, geom: FastGeom, vol, mask, vol_shape):
     vm = vol * mask
     for si, ((lo, hi), terms) in enumerate(zip(fast.ranges, fast.terms)):
         cv = conv_separable(vm, terms)
-        cm = geom.cmask[si]
-        num = trilinear_gather(cv, geom.xp[lo:hi])
-        den = trilinear_gather(cm, geom.xp[lo:hi])
+        # one width-16 row gather serves both numerator (conv(vol.mask),
+        # rebuilt per call) and denominator (cached conv(mask) shingle)
+        table = jnp.concatenate([make_shingle([cv]), geom.cmask[si]],
+                                axis=-1)
+        num, den = shingle_gather(table, geom.xp[lo:hi], vol_shape, 2)
         sim = sim.at[lo:hi].set(
             jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0))
         den_out = den_out.at[lo:hi].set(den)

@@ -289,7 +289,7 @@ def trilinear_splat2(xp, pay_a, pay_b, vol_shape):
     out_b = jnp.zeros(vol_shape, jnp.float32)
     for p in range(8):
         szp, syp, sxp = (p >> 2) & 1, (p >> 1) & 1, p & 1
-        dense = acc[p].transpose(0, 4, 1, 5, 2, 6, 3).reshape(
+        dense = acc[p].transpose(0, 3, 1, 4, 2, 5, 6).reshape(
             2 * Bz, 2 * By, 2 * Bx, 2)
         sl = dense[szp:szp + zs, syp:syp + ys, sxp:sxp + xs]
         out_a = out_a + sl[..., 0]

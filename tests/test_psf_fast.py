@@ -150,3 +150,42 @@ def test_adjoint_consistency(setup):
                                 jnp.zeros_like(u), s["mask"], shape)
     rhs = float(jnp.sum(adj_a * v))
     assert abs(lhs - rhs) / max(abs(lhs), 1e-6) < 1e-3, (lhs, rhs)
+
+
+def test_trilinear_splat2_matches_naive():
+    """Parity-blocked width-16 scatter == naive per-corner scatter-add."""
+    rng = np.random.default_rng(2)
+    shape = (9, 11, 13)  # odd dims exercise the halo slicing
+    n = 500
+    # positions spanning the halo: floor in [-1, dim-1] is in-bounds
+    xp = np.stack([rng.uniform(-1.5, d + 0.5, n)
+                   for d in (shape[2], shape[1], shape[0])], -1)
+    pa = rng.normal(size=n).astype(np.float32)
+    pb = rng.normal(size=n).astype(np.float32)
+    out_a, out_b = pf.trilinear_splat2(
+        jnp.asarray(xp, jnp.float32), jnp.asarray(pa), jnp.asarray(pb),
+        shape)
+
+    ref_a = np.zeros(shape, np.float64)
+    ref_b = np.zeros(shape, np.float64)
+    xpf = np.asarray(xp, np.float32)
+    x, y, z = xpf[:, 0], xpf[:, 1], xpf[:, 2]
+    u, v, w = np.floor(x), np.floor(y), np.floor(z)
+    du, dv, dw = x - u, y - v, z - w
+    ui, vi, wi = u.astype(int), v.astype(int), w.astype(int)
+    for cw in (0, 1):
+        for cv in (0, 1):
+            for cu in (0, 1):
+                wt = ((du if cu else 1 - du) * (dv if cv else 1 - dv)
+                      * (dw if cw else 1 - dw)).astype(np.float32)
+                iu, iv, iw = ui + cu, vi + cv, wi + cw
+                inb = ((iu >= 0) & (iu < shape[2]) & (iv >= 0)
+                       & (iv < shape[1]) & (iw >= 0) & (iw < shape[0]))
+                np.add.at(ref_a, (iw[inb], iv[inb], iu[inb]),
+                          (wt * pa)[inb])
+                np.add.at(ref_b, (iw[inb], iv[inb], iu[inb]),
+                          (wt * pb)[inb])
+    np.testing.assert_allclose(np.asarray(out_a), ref_a, rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_b), ref_b, rtol=2e-4,
+                               atol=2e-4)

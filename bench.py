@@ -110,22 +110,21 @@ def main():
     em = svr_core.initialize_robust_statistics(
         ctx, p["slices"], p["valid"], sim, em, 700.0, 100.0, excluded)
 
-    import functools
+    vol_shape = tuple(ctx.vol_shape)
+    mask = p["mask_flat"].reshape(vol_shape)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    # One inner SR/EM iteration = scale -> SR scatter+regularize ->
+    # simulate -> M-step -> E-step.  svr_core.inner_iteration takes EVERY
+    # array as a jit ARGUMENT (em/sim/recon donated) — nothing is baked
+    # into the program as a constant, so the serialized HLO stays small
+    # enough for the remote-compile tunnel (round-1 failure mode: a
+    # closure capturing ~100 MB of slice/geometry constants -> HTTP 413).
     def one_iteration(em, sim, recon):
-        em = svr_core.scale_step(ctx, p["slices"], p["valid"], p["sume"],
-                                 sim, em)
-        recon, _ = svr_core.superresolution_step(
+        return svr_core.inner_iteration(
             ctx, p["geom"], p["sume"], p["slices"], p["valid"], em, sim,
-            recon, p["mask_flat"], 1.0, 450.0, 100.0, 700.0)
-        sim = svr_core.simulate(ctx, p["geom"], p["sume"], recon,
-                                p["mask_flat"])
-        em = svr_core.mstep(ctx, p["slices"], p["valid"], p["sume"], sim,
-                            em, 2)
-        em, _ = svr_core.estep(ctx, p["slices"], p["valid"], p["sume"],
-                               sim, em, excluded)
-        return em, sim, recon
+            recon, wts, mask, p["mask_flat"], excluded, 1.0, 450.0,
+            100.0, 700.0, 2, do_bias=False, do_scale=True,
+            do_normalise_bias=False)
 
     # warmup/compile (force host sync — block_until_ready is not reliable
     # through the axon tunnel)

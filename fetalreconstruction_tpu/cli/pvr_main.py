@@ -32,8 +32,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spxSize", type=int, default=16)
     p.add_argument("--spxExtend", type=int, default=8)
     p.add_argument("--hierarchical", action="store_true")
-    p.add_argument("--resample", type=float, default=0.0)
+    p.add_argument("--resample", action="store_true",
+                   help="Resample input stacks to the recon resolution "
+                        "before reconstruction")
     p.add_argument("--dilateMask", type=int, default=0)
+    # research-evaluation harness (patchBasedReconMain.cpp:137-144)
+    p.add_argument("--evaluateGt", default="",
+                   help="Ground-truth volume for per-iteration evaluation "
+                        "CSVs (log-evaluate-Gt.csv)")
+    p.add_argument("--evaluation", nargs="*", default=[],
+                   help="Evaluation mask volumes (per-iteration "
+                        "log-evaluate-<mask>.csv rows vs input stacks)")
+    p.add_argument("--evaluateBaseline", action="store_true",
+                   help="Also evaluate the raw input stacks vs ground "
+                        "truth before reconstruction")
+    p.add_argument("--patchExtraction", action="store_true",
+                   help="Dump the extracted patch batch to disk")
+    p.add_argument("--useFullSlicePatches", dest="useFullSlices",
+                   action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="Shard the patch batch over the first N devices")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log_prefix", default="")
+    p.add_argument("--no_log", action="store_true")
     p.add_argument("--sigma", type=float, default=20.0)
     p.add_argument("--delta", type=float, default=150.0)
     p.add_argument("--lambda", dest="lambda_", type=float, default=0.02)
@@ -47,12 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["fast", "exact"], default="fast")
     # compatibility no-ops
     p.add_argument("-d", "--devices", nargs="*", type=int, default=[])
-    p.add_argument("--useCPU", action="store_true")
+    p.add_argument("--useCPU", action="store_true",
+                   help="Run on the CPU backend (forces jax platform cpu)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.useCPU:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from ..pipeline.pvr import PVRConfig, run_pvr
     from ..io.nifti import write_nifti
 
@@ -82,12 +108,26 @@ def main(argv=None) -> int:
         rec_iterations_first=args.rec_iterations_first,
         rec_iterations_last=args.rec_iterations_last,
         debug=args.debug,
-        engine=args.engine)
+        engine=args.engine,
+        evaluate_gt=args.evaluateGt,
+        evaluation_masks=args.evaluation,
+        evaluate_baseline=args.evaluateBaseline,
+        patch_extraction=args.patchExtraction,
+        checkpoint_dir=args.checkpoint,
+        resume=args.resume,
+        log_prefix=args.log_prefix,
+        no_log=args.no_log)
 
-    result = run_pvr(cfg)
+    from .svr_main import make_mesh, _LogRedirect
+    mesh = make_mesh(args.mesh) if args.mesh else None
+    with _LogRedirect(args.log_prefix, not args.no_log):
+        result = run_pvr(cfg, mesh=mesh)
     write_nifti(result.reconstructed, cfg.output)
     print(f"wrote {cfg.output}")
     result.stats.print()
+    perf_name = (args.log_prefix
+                 + time.strftime("performance_%Y-%m-%d-%H-%M-%S.txt"))
+    result.stats.write(perf_name)
     return 0
 
 

@@ -68,7 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_log", action="store_true")
     # accepted for reference compatibility; ignored
     p.add_argument("-d", "--devices", nargs="*", type=int, default=[])
-    p.add_argument("--useCPU", action="store_true")
+    p.add_argument("--useCPU", action="store_true",
+                   help="Run on the CPU backend (forces jax platform cpu; "
+                        "the reference's CPU reconstruction path)")
     p.add_argument("--useCPUReg", action="store_true")
     p.add_argument("--useGPUReg", action="store_true")
     p.add_argument("--useAutoTemplate", action="store_true")
@@ -84,11 +86,78 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["fast", "exact"], default="fast",
                    help="PSF engine: fast (TPU conv+trilinear) or exact "
                         "(reference-faithful offsets)")
+    p.add_argument("--checkpoint", default="",
+                   help="Directory for per-outer-iteration checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from the latest checkpoint in --checkpoint")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="Shard the slice batch over the first N devices "
+                        "(0 = all devices if more than one, else single)")
+    p.add_argument("--distributed", action="store_true",
+                   help="Multi-host: call jax.distributed.initialize() "
+                        "before device discovery (set JAX coordinator env "
+                        "vars or rely on auto-detection)")
+    p.add_argument("--trace", default="",
+                   help="Capture a jax.profiler device trace to this dir")
+    p.add_argument("--bspline", action="store_true",
+                   help="Also write the alternative B-spline reconstruction "
+                        "(<output>.bspline.nii.gz)")
     return p
+
+
+def make_mesh(n: int):
+    """Build a 1-D 'slices' mesh over the first n devices (all if n==0 and
+    more than one device is present; None for single-device runs)."""
+    import jax
+    from jax.sharding import Mesh
+    import numpy as np
+    devs = jax.devices()
+    if n == 0:
+        n = len(devs)
+    if n <= 1:
+        return None
+    return Mesh(np.asarray(devs[:n]), ("slices",))
+
+
+class _LogRedirect:
+    """stdout/stderr redirection to log files (reconstruction.cc:633-656:
+    log-registration.txt / log-registration-error.txt; restored on exit)."""
+
+    def __init__(self, prefix: str, enabled: bool):
+        self.enabled = enabled
+        self.prefix = prefix
+
+    def __enter__(self):
+        if not self.enabled:
+            return self
+        self._out, self._err = sys.stdout, sys.stderr
+        self._fo = open(self.prefix + "log-reconstruction.txt", "a")
+        self._fe = open(self.prefix + "log-registration-error.txt", "a")
+        sys.stdout, sys.stderr = self._fo, self._fe
+        return self
+
+    def __exit__(self, *exc):
+        if not self.enabled:
+            return False
+        sys.stdout, sys.stderr = self._out, self._err
+        self._fo.close()
+        self._fe.close()
+        return False
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.useCPU:
+        # the reference's --useCPU selects its CPU reconstruction path
+        # (reconstruction.cc:121); here it forces the CPU backend (the env
+        # var alone may be re-exported by site packages, so set the config)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
 
     from ..pipeline.config import SVRConfig
     from ..pipeline.svr import run_svr
@@ -131,13 +200,29 @@ def main(argv=None) -> int:
         patch_stride=args.patchStride,
         superpixel_based=args.superpixelBased,
         num_superpixels=args.superpixel,
-        manual_mask=args.manualMask)
+        manual_mask=args.manualMask,
+        num_stacks_tuner=args.num_stacks_tuner,
+        no_log=args.no_log,
+        checkpoint_dir=args.checkpoint,
+        resume=args.resume,
+        bspline=args.bspline)
     cfg.debug = cfg.debug or args.debug_gpu
     cfg.transformation_files = args.transformations
 
-    result = run_svr(cfg)
+    mesh = make_mesh(args.mesh) if (args.mesh or args.distributed) else None
+    import contextlib
+    tracer = contextlib.nullcontext()
+    if args.trace:
+        from ..utils.tracing import trace
+        tracer = trace(args.trace)
+    with tracer, _LogRedirect(args.log_prefix, not args.no_log):
+        result = run_svr(cfg, mesh=mesh)
     write_nifti(result.reconstructed, cfg.output)
     print(f"wrote {cfg.output}")
+    if result.bspline_reconstructed is not None:
+        write_nifti(result.bspline_reconstructed,
+                    cfg.output + ".bspline.nii.gz")
+        print(f"wrote {cfg.output}.bspline.nii.gz")
 
     if result.manual_mask_volume is not None:
         import os

@@ -44,13 +44,44 @@ def bias_step(slices, valid, bias, scale, weights, sim, simw,
     return new_bias
 
 
+def bias_correct_volume(recon, original, mask, min_intensity, max_intensity,
+                        low_intensity_cutoff, sigma_bias_mm, vol_spacing):
+    """Remove the low-frequency residual between the updated volume and the
+    previous-iteration volume (BiasCorrectVolume,
+    irtkReconstructionGPU.cc:4430-4501; called from the CPU Superresolution
+    at 4107-4108 when global bias correction is on).
+
+    residual = log(recon/original) where mask==1 and both exceed
+    low_intensity_cutoff * max_intensity; Gaussian-blur residual and the
+    weight image, divide, exp -> multiplicative bias field; divide the
+    volume by it inside the mask and clamp to [0.9 min, 1.1 max].
+    """
+    cutoff = low_intensity_cutoff * max_intensity
+    ok = (mask == 1) & (original > cutoff) & (recon > cutoff)
+    residual = jnp.where(ok, jnp.log(jnp.maximum(recon, 1e-30)
+                                     / jnp.maximum(original, 1e-30)), 0.0)
+    weights = jnp.where(ok, 1.0, 0.0)
+    residual = gaussian_blur(residual, sigma_bias_mm, vol_spacing)
+    weights = gaussian_blur(weights, sigma_bias_mm, vol_spacing)
+    field = jnp.exp(jnp.where(weights != 0,
+                              residual / jnp.where(weights != 0, weights,
+                                                   1.0), 0.0))
+    corrected = jnp.clip(recon / field, 0.9 * min_intensity,
+                         1.1 * max_intensity)
+    return jnp.where(mask == 1, corrected, recon)
+
+
 def normalise_bias(geom, offsets, sume, slices_valid, bias, scale,
                    recon, vol_weights, mask, mask_flat, vol_shape,
-                   sigma_bias_mm, vol_spacing):
+                   sigma_bias_mm, vol_spacing, axis_name=None):
     """Remove average slice bias from the volume (NormaliseBias).
 
+    axis_name: slice-sharded mesh axis — the scatter output is a partial
+    volume per shard, combined by psum (the ICI all-reduce replacing the
+    reference's peer-memcpy reduce, reconstruction_cuda2.cu:2225-2239).
     Returns the corrected volume.
     """
+    import jax
     logs = jnp.log(jnp.maximum(scale, 1e-30))
     b = jnp.where(slices_valid & (scale[:, None, None] > 0),
                   bias - logs[:, None, None], bias)
@@ -58,6 +89,8 @@ def normalise_bias(geom, offsets, sume, slices_valid, bias, scale,
     (vol_bias_flat,) = psf_ops.psf_scatter(geom, offsets, sume, [payload],
                                            mask_flat, vol_shape)
     vol_bias = vol_bias_flat.reshape(vol_shape)
+    if axis_name is not None:
+        vol_bias = jax.lax.psum(vol_bias, axis_name)
     ok = vol_weights > 0
     vol_bias = jnp.where(ok, vol_bias / jnp.where(ok, vol_weights, 1.0), 0.0)
     # mask, blur bias and mask, divide

@@ -39,6 +39,13 @@ class EvalResult:
     ks: float = 0.0
     psnr: float = 0.0
     samples: int = 0
+    # histogram moments (irtkHistogram_2D MeanX/MeanY/VarianceX/VarianceY/
+    # Covariance — consumed by the PVR evaluation CSVs)
+    mean_x: float = 0.0
+    mean_y: float = 0.0
+    var_x: float = 0.0
+    var_y: float = 0.0
+    cov: float = 0.0
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -107,6 +114,8 @@ def evaluate(target: Image, source: Image,
     var_y = float((py * (cy - mean_y) ** 2).sum())
     cov = float((p * np.outer(cx - mean_x, cy - mean_y)).sum())
     res.cc = cov / np.sqrt(max(var_x * var_y, 1e-30))
+    res.mean_x, res.mean_y = mean_x, mean_y
+    res.var_x, res.var_y, res.cov = var_x, var_y, cov
 
     # SSD from the histogram (bin-centre approximation, as the reference)
     diff2 = (cx[:, None] - cy[None, :]) ** 2

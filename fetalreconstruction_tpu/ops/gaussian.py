@@ -41,6 +41,8 @@ def _blur_axis(data, kernel: np.ndarray, axis: int):
         # value at index i comes from index i+shift
         lo = max(shift, 0)
         hi = min(n + shift, n)
+        if hi <= lo:          # kernel wider than the axis: tap off the edge
+            continue
         src = jnp.take(data, jnp.arange(lo, hi), axis=axis)
         dst_lo = lo - shift
         pad_before = [(0, 0)] * data.ndim
@@ -83,6 +85,8 @@ def _blur_axis_masked(data, mask, kernel: np.ndarray, axis: int):
         w = float(kernel[tap])
         lo = max(shift, 0)
         hi = min(n + shift, n)
+        if hi <= lo:
+            continue
         src = jnp.take(masked, jnp.arange(lo, hi), axis=axis)
         msk = jnp.take(mask, jnp.arange(lo, hi), axis=axis)
         dst_lo = lo - shift

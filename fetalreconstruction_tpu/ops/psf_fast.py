@@ -48,13 +48,19 @@ class FastGeom(NamedTuple):
     xp:    (N, H, W, 3) f32  continuous volume position F_s p (x, y, z)
     valid: (N, H, W)   bool
     sume:  (N, H, W)   f32   PSF normalization (conv(1))(xp), 0-gated
-    cmask: (S, R, 8) f32  per-stack corner SHINGLE (make_shingle) of
-           conv(mask) — mask is constant per run, so these tables are
-           cached at geometry build and reused by every simulate call
+    sid:   (N,)        i32   stack index per slice — selects the per-stack
+           kernel/table; replaces the round-1 per-stack lo:hi slicing so
+           the slice axis shards cleanly (every per-slice op is elementwise
+           in sid; all per-STACK work is volume-space and replicated)
+    cmask: (S*R, 8) f32  row-concatenated per-stack corner SHINGLEs
+           (make_shingle) of conv(mask) — mask is constant per run, so
+           these tables are cached at geometry build and reused by every
+           simulate call; row r of stack s lives at s*R + r
     """
     xp: jax.Array
     valid: jax.Array
     sume: jax.Array
+    sid: jax.Array
     cmask: jax.Array
 
 
@@ -219,20 +225,34 @@ def _corner_weights(xp):
             jnp.stack(wts, axis=-1))
 
 
-def shingle_gather(shingle, xp, vol_shape, n_vols=1):
+def shingle_rows(vol_shape) -> int:
+    """Rows per volume in a make_shingle table."""
+    zs, ys, xs = vol_shape
+    return (zs + 1) * (ys + 1) * (xs + 1)
+
+
+def shingle_gather(shingle, xp, vol_shape, n_vols=1, sid=None):
     """Trilinear sample from a make_shingle table at (..., 3) (x,y,z).
 
-    Returns a tuple of n_vols arrays shaped xp.shape[:-1].  Exactly
-    equivalent to per-corner masked takes (partial sums at the volume
-    boundary included — the halo rows carry the correct mixed
-    in/out-of-bounds windows).
+    sid (optional): per-SLICE stack index, shaped broadcastable to
+    xp.shape[:-1] leading axis — when given, `shingle` is a row-stacked
+    (S*R, C) multi-stack table and each sample reads from its own stack's
+    block (row s*R + lin).  Returns a tuple of n_vols arrays shaped
+    xp.shape[:-1].  Exactly equivalent to per-corner masked takes (partial
+    sums at the volume boundary included — the halo rows carry the correct
+    mixed in/out-of-bounds windows).
     """
     zs, ys, xs = vol_shape
+    R = shingle_rows(vol_shape)
     ui, vi, wi, wts = _corner_weights(xp)
     inb = ((ui >= -1) & (ui < xs) & (vi >= -1) & (vi < ys)
            & (wi >= -1) & (wi < zs))
     lin = ((wi + 1) * (ys + 1) + (vi + 1)) * (xs + 1) + (ui + 1)
-    lin = jnp.clip(lin, 0, shingle.shape[0] - 1)
+    lin = jnp.clip(lin, 0, R - 1)
+    if sid is not None:
+        nd = lin.ndim - 1  # broadcast (N,) over the trailing (H, W) dims
+        lin = lin + sid.astype(jnp.int32).reshape(
+            sid.shape + (1,) * nd) * R
     rows = jnp.take(shingle, lin.reshape(-1), axis=0)
     rows = rows.reshape(lin.shape + (shingle.shape[-1],))
     outs = []
@@ -250,23 +270,23 @@ def trilinear_gather(vol, xp):
     return out
 
 
-def trilinear_splat2(xp, pay_a, pay_b, vol_shape):
-    """Adjoint of trilinear_gather (shingle_gather) for TWO payloads.
+def _splat2_blocked(xp, pay_a, pay_b, vol_shape, sid=None, n_stacks=1):
+    """Parity-blocked width-16 scatter core; returns the blocked
+    accumulator (n_stacks, 8, Bz, By, Bx, 2, 2, 2, 2).
 
-    Parity-blocked width-16 scatter: the volume is viewed, per corner
-    parity s in {0,1}^3, as 2x2x2 blocks of the s-shifted volume
-    V_s[j] = vol[j - s].  A pixel with floor index q (per axis) has
-    q + s_q even for its own parity s_q = q & 1, so its full 2x2x2
-    corner window lands INSIDE block (q + s_q)/2 of V_{s_q}.  All 8
-    trilinear corners x 2 payloads therefore form ONE 16-wide scatter row
-    per pixel; the XLA TPU scatter cost is ~per-row (measured v5e:
-    width-16 112 ns/row vs width-2 85 ns/row), so this runs ~8x fewer
-    rows than the naive 8-corner scatter (measured: 0.46s vs 1.73s for
-    3.5M pixels into 160^3).  Un-blocking is 8 dense transposed adds.
+    The volume is viewed, per corner parity s in {0,1}^3, as 2x2x2 blocks
+    of the s-shifted volume V_s[j] = vol[j - s].  A pixel with floor index
+    q (per axis) has q + s_q even for its own parity s_q = q & 1, so its
+    full 2x2x2 corner window lands INSIDE block (q + s_q)/2 of V_{s_q}.
+    All 8 trilinear corners x 2 payloads therefore form ONE 16-wide
+    scatter row per pixel; the XLA TPU scatter cost is ~per-row (measured
+    v5e: width-16 112 ns/row vs width-2 85 ns/row), so this runs ~8x
+    fewer rows than the naive 8-corner scatter (measured: 0.46s vs 1.73s
+    for 3.5M pixels into 160^3).
 
-    Exactly matches per-corner-masked scatter-add semantics: rows with
-    floor outside [-1, dim-1] are dropped; boundary corners fall into
-    halo positions of the dense views and are sliced away.
+    sid: per-slice stack index -> rows offset by sid * 8*Bz*By*Bx, so all
+    stacks accumulate in ONE scatter call (same total row count as the
+    round-1 per-stack loop, but shardable over slices).
     """
     zs, ys, xs = vol_shape
     Bz, By, Bx = (zs + 3) // 2, (ys + 3) // 2, (xs + 3) // 2
@@ -277,14 +297,27 @@ def trilinear_splat2(xp, pay_a, pay_b, vol_shape):
     bx, by, bz = (ui + sx) >> 1, (vi + sy) >> 1, (wi + sz) >> 1
     par = (sz << 2) | (sy << 1) | sx
     row = ((par * Bz + bz) * By + by) * Bx + bx
+    if sid is not None:
+        nd = row.ndim - 1
+        row = row + sid.astype(jnp.int32).reshape(
+            sid.shape + (1,) * nd) * (8 * Bz * By * Bx)
     row = jnp.where(inb, row, -1).reshape(-1)
     # wts is ordered (cw, cv, cu); payload axis last -> (..., 8, 2)
     upd = jnp.stack([wts * pay_a[..., None], wts * pay_b[..., None]],
                     axis=-1).reshape(-1, 16)
-    acc = jnp.zeros((8 * Bz * By * Bx, 16), jnp.float32)
+    acc = jnp.zeros((n_stacks * 8 * Bz * By * Bx, 16), jnp.float32)
     acc = acc.at[row].add(upd, mode="drop")
-    # un-block: dense_s[2b+c] = blocks[b, c]; vol[i] += dense_s[i + s]
-    acc = acc.reshape(8, Bz, By, Bx, 2, 2, 2, 2)
+    return acc.reshape(n_stacks, 8, Bz, By, Bx, 2, 2, 2, 2)
+
+
+def _unblock2(acc, vol_shape):
+    """Un-block one stack's parity accumulator (8,Bz,By,Bx,2,2,2,2) into
+    two dense volumes: dense_s[2b+c] = blocks[b, c]; vol[i] += dense_s[i+s].
+    Rows with floor outside [-1, dim-1] were dropped; boundary corners
+    fall into halo positions of the dense views and are sliced away —
+    exactly matching per-corner-masked scatter-add semantics."""
+    zs, ys, xs = vol_shape
+    Bz, By, Bx = acc.shape[1:4]
     out_a = jnp.zeros(vol_shape, jnp.float32)
     out_b = jnp.zeros(vol_shape, jnp.float32)
     for p in range(8):
@@ -295,6 +328,12 @@ def trilinear_splat2(xp, pay_a, pay_b, vol_shape):
         out_a = out_a + sl[..., 0]
         out_b = out_b + sl[..., 1]
     return out_a, out_b
+
+
+def trilinear_splat2(xp, pay_a, pay_b, vol_shape):
+    """Adjoint of trilinear_gather (shingle_gather) for TWO payloads."""
+    acc = _splat2_blocked(xp, pay_a, pay_b, vol_shape)
+    return _unblock2(acc[0], vol_shape)
 
 
 # ---------------------------------------------------------------------------
@@ -334,13 +373,30 @@ class FastPSF:
         return cls(np.asarray(a3s), np.asarray(dims), ranges, support, tol)
 
 
-def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape, mask=None):
-    """Continuous per-pixel positions + sume (conv(1))(xp) + cached
-    per-stack conv(mask) fields.
+def default_stack_id(fast: FastPSF, n: int) -> np.ndarray:
+    """(n,) stack index from the FastPSF slice ranges; rows past the last
+    range (mesh padding) inherit the last stack id."""
+    sid = np.full((n,), len(fast.ranges) - 1, np.int32)
+    for s, (lo, hi) in enumerate(fast.ranges):
+        sid[lo:min(hi, n)] = s
+    return sid
 
-    fwd: (N,4,4) = reconW2I @ T_s @ sliceI2W; mask: [z,y,x] (ones if None).
+
+def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape, mask=None,
+                   stack_id=None):
+    """Continuous per-pixel positions + sume (conv(1))(xp) + cached
+    per-stack conv(mask) tables.
+
+    fwd: (N,4,4) = reconW2I @ T_s @ sliceI2W; mask: [z,y,x] (ones if None);
+    stack_id: (N,) i32 (derived from fast.ranges if omitted).  Every
+    per-slice operation is elementwise in stack_id, so the slice axis
+    shards over a mesh; the per-stack convolutions are volume-space and
+    run replicated.
     """
     n, h, w = valid.shape
+    if stack_id is None:
+        stack_id = jnp.asarray(default_stack_id(fast, n))
+    sid = jnp.asarray(stack_id, jnp.int32)
     px = jnp.arange(w, dtype=jnp.float32)
     py = jnp.arange(h, dtype=jnp.float32)
     xp = (fwd[:, None, None, :3, 0] * px[None, None, :, None]
@@ -350,39 +406,32 @@ def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape, mask=None):
     if mask is None:
         mask = ones
     mask = mask.reshape(vol_shape)
-    sume = jnp.zeros((n, h, w), jnp.float32)
-    cmasks = []
-    for (lo, hi), terms in zip(fast.ranges, fast.terms):
-        c1 = conv_separable(ones, terms)
-        sume = sume.at[lo:hi].set(trilinear_gather(c1, xp[lo:hi]))
-        cmasks.append(make_shingle([conv_separable(mask, terms)]))
+    # per-stack conv volumes, row-stacked into single gather tables
+    ones_tab = jnp.concatenate(
+        [make_shingle([conv_separable(ones, t)]) for t in fast.terms])
+    cmask = jnp.concatenate(
+        [make_shingle([conv_separable(mask, t)]) for t in fast.terms])
+    (sume,) = shingle_gather(ones_tab, xp, vol_shape, 1, sid=sid)
     sume = jnp.where(valid & (sume > 0.5), sume, 0.0)
-    return FastGeom(xp=xp, valid=valid, sume=sume,
-                    cmask=jnp.stack(cmasks))
+    return FastGeom(xp=xp, valid=valid, sume=sume, sid=sid, cmask=cmask)
 
 
 def fast_simulate(fast: FastPSF, geom: FastGeom, vol, mask, vol_shape):
     """sim, simw, inside — fast analog of psf_gather.
 
     conv(mask) comes from the geometry cache (mask constant per run)."""
-    n, h, w = geom.valid.shape
-    sim = jnp.zeros((n, h, w), jnp.float32)
-    den_out = jnp.zeros((n, h, w), jnp.float32)
     vm = vol * mask
-    for si, ((lo, hi), terms) in enumerate(zip(fast.ranges, fast.terms)):
-        cv = conv_separable(vm, terms)
-        # one width-16 row gather serves both numerator (conv(vol.mask),
-        # rebuilt per call) and denominator (cached conv(mask) shingle)
-        table = jnp.concatenate([make_shingle([cv]), geom.cmask[si]],
-                                axis=-1)
-        num, den = shingle_gather(table, geom.xp[lo:hi], vol_shape, 2)
-        sim = sim.at[lo:hi].set(
-            jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0))
-        den_out = den_out.at[lo:hi].set(den)
+    # one width-16 row gather serves both numerator (conv(vol.mask),
+    # rebuilt per call) and denominator (cached conv(mask) table)
+    num_tab = jnp.concatenate(
+        [make_shingle([conv_separable(vm, t)]) for t in fast.terms])
+    table = jnp.concatenate([num_tab, geom.cmask], axis=-1)
+    num, den = shingle_gather(table, geom.xp, vol_shape, 2, sid=geom.sid)
+    sim = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
     gate = (geom.sume > 0.0) & geom.valid
-    inside = gate & (den_out > 0)
+    inside = gate & (den > 0)
     simw = jnp.where(inside,
-                     den_out / jnp.where(geom.sume > 0, geom.sume, 1.0),
+                     den / jnp.where(geom.sume > 0, geom.sume, 1.0),
                      0.0)
     sim = jnp.where(inside, sim, 0.0)
     return sim, simw, inside
@@ -393,16 +442,20 @@ def fast_scatter2(fast: FastPSF, geom: FastGeom, pay_a, pay_b, mask,
     """Transpose accumulation of two payloads (e.g. addon + cmap).
 
     out_k = mask . sum_stacks K_s * splat(payload_k / sume).
-    Payloads must be zero at invalid pixels.
+    Payloads must be zero at invalid pixels.  ONE stack-offset scatter
+    covers all stacks (same row count as a per-stack loop, shardable);
+    the per-stack un-block + adjoint convolution runs on dense volumes.
     """
     inv = jnp.where(geom.sume > 0, 1.0 / jnp.where(geom.sume > 0,
                                                    geom.sume, 1.0), 0.0)
     a = pay_a * inv
     b = pay_b * inv
+    S = len(fast.terms)
+    blocked = _splat2_blocked(geom.xp, a, b, vol_shape, sid=geom.sid,
+                              n_stacks=S)
     out = jnp.zeros((2,) + tuple(vol_shape), jnp.float32)
-    for (lo, hi), terms in zip(fast.ranges, fast.terms):
-        sa, sb = trilinear_splat2(geom.xp[lo:hi], a[lo:hi], b[lo:hi],
-                                  vol_shape)
+    for s, terms in enumerate(fast.terms):
+        sa, sb = _unblock2(blocked[s], vol_shape)
         # batch both payload fields through one conv pass (axes shift by 1)
         both = jnp.stack([sa, sb])
         acc = jnp.zeros_like(both)

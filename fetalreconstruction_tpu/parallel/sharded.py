@@ -12,6 +12,16 @@ reconstruction_cuda2.cu:1408-1460, 2225-2239, 2368-2373 / SURVEY.md §2.4):
   partials are combined with jax.lax.psum over ICI, and regularization
   runs replicated (identical on every chip — no broadcast needed).
 
+Both PSF engines are supported: the exact offset-scan engine (ops/psf.py)
+and the production fast conv+trilinear engine (ops/psf_fast.py, whose
+FastGeom tables are per-slice/stack-id addressed precisely so the slice
+axis shards — every per-slice op is elementwise in `sid`, the per-stack
+shingle tables are replicated).
+
+The compute bodies are NOT duplicated here: svr_core's jitted functions
+take an `axis_name` argument and insert the psums themselves; this module
+only provides the shard_map plumbing (mesh, specs, padding).
+
 All functions accept an already-padded slice count divisible by the mesh
 size (pad with fully-invalid slices; they contribute nothing).
 """
@@ -25,11 +35,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..em import robust, bias as bias_mod
 from ..ops import psf as psf_ops
+from ..ops import psf_fast
 from ..pipeline import svr_core
 from ..pipeline.state import EMState, SimState
-from ..sr import superresolution as sr
 
 AXIS = "slices"
 
@@ -59,120 +68,177 @@ def shard_batch(mesh: Mesh, *arrays):
     return tuple(jax.device_put(a, s) for a in arrays)
 
 
-def sharded_em_sr_iteration(ctx: svr_core.SVRContext, mesh: Mesh):
-    """Build the jitted multi-chip EM+SR iteration.
+def geom_spec(ctx: svr_core.SVRContext):
+    """PartitionSpec pytree for the engine's geometry structure."""
+    if ctx.fast is not None:
+        return psf_fast.FastGeom(xp=P(AXIS), valid=P(AXIS), sume=P(AXIS),
+                                 sid=P(AXIS), cmask=P())
+    return psf_ops.SliceGeom(centre=P(AXIS), frac=P(AXIS), a3=P(AXIS),
+                             slice_dim=P(AXIS), valid=P(AXIS))
 
-    Returns f(slices, valid, geom, sume, em, recon, vol_weights, mask,
-    mask_flat, excluded, alpha, lam, min_i, max_i, sr_iteration)
-    -> (recon, em, sim_state).
+
+EM_SPEC = EMState(weights=P(AXIS), bias=P(AXIS), scale=P(AXIS),
+                  slice_weight=P(AXIS), sigma2=P(), m=P(), mix=P(),
+                  mix_s=P())
+SIM_SPEC = SimState(sim=P(AXIS), simw=P(AXIS), inside=P(AXIS),
+                    slice_inside=P(AXIS))
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map
+        kw = {"check_vma": False}  # jax >= 0.7 API
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, **kw)
+
+
+def sharded_inner_iteration(ctx: svr_core.SVRContext, mesh: Mesh,
+                            do_bias: bool = False, do_scale: bool = True,
+                            do_normalise_bias: bool = False,
+                            donate: bool = True):
+    """Build the jitted multi-chip fused inner SR/EM iteration — the
+    shard_map form of svr_core.inner_iteration (axis_name=AXIS inserts
+    the psum collectives).
+
+    Returns f(geom, sume, slices, valid, em, sim_state, recon,
+    vol_weights, mask, mask_flat, excluded, alpha, lam, min_i, max_i,
+    sr_iteration) -> (em, sim_state, recon)."""
+    body = partial(svr_core.inner_iteration.__wrapped__, ctx,
+                   do_bias=do_bias, do_scale=do_scale,
+                   do_normalise_bias=do_normalise_bias, axis_name=AXIS)
+    sm = _shard_map(
+        body, mesh,
+        in_specs=(geom_spec(ctx), P(AXIS), P(AXIS), P(AXIS), EM_SPEC,
+                  SIM_SPEC, P(), P(), P(), P(), P(AXIS), P(), P(), P(),
+                  P(), P()),
+        out_specs=(EM_SPEC, SIM_SPEC, P()))
+    return jax.jit(sm, donate_argnums=(4, 5, 6) if donate else ())
+
+
+def sharded_em_sr_iteration(ctx: svr_core.SVRContext, mesh: Mesh):
+    """Compatibility wrapper with the round-1 call signature.
+
+    Returns f(slices, valid, geom, sume, em, sim_state, recon,
+    vol_weights, mask, mask_flat, excluded, alpha, lam, min_i, max_i,
+    sr_iteration) -> (recon, em, sim_state).
 
     One call = one inner SR iteration: [bias] scale -> SR scatter (psum)
-    -> regularize (replicated) -> [normalise bias] -> simulate -> M-step
-    (psum) -> E-step (psum).
+    -> regularize (replicated) -> simulate -> M-step (psum) -> E-step
+    (psum).
     """
-    from jax.experimental.shard_map import shard_map
+    inner = sharded_inner_iteration(ctx, mesh,
+                                    do_bias=not ctx.disable_bias,
+                                    do_scale=True,
+                                    do_normalise_bias=False,
+                                    donate=False)
 
-    geom_spec = psf_ops.SliceGeom(centre=P(AXIS), frac=P(AXIS), a3=P(AXIS),
-                                  slice_dim=P(AXIS), valid=P(AXIS))
-    em_spec = EMState(weights=P(AXIS), bias=P(AXIS), scale=P(AXIS),
-                      slice_weight=P(AXIS), sigma2=P(), m=P(), mix=P(),
-                      mix_s=P())
-    sim_spec = SimState(sim=P(AXIS), simw=P(AXIS), inside=P(AXIS),
-                        slice_inside=P(AXIS))
-
-    def step(slices, valid, geom, sume, em, sim_state, recon, vol_weights,
-             mask, mask_flat, excluded, alpha, lam, min_i, max_i,
-             sr_iteration):
-        gated = valid & (sume > 0)
-        if not ctx.disable_bias:
-            b = bias_mod.bias_step(slices, gated, em.bias, em.scale,
-                                   em.weights, sim_state.sim,
-                                   sim_state.simw, ctx.sigma_bias,
-                                   ctx.slice_spacing_xy,
-                                   ctx.global_bias_correction)
-            em = em._replace(bias=b)
-        em = em._replace(scale=robust.scale_step(
-            slices, gated, em.bias, em.weights, sim_state.sim,
-            sim_state.simw))
-
-        # SR scatter: local partial volumes + psum (the ICI all-reduce
-        # replacing peer-memcpy reduce-to-root)
-        addon, cmap = sr.sr_accumulate(
-            geom, ctx.offsets, sume, slices, valid, em.bias, em.scale,
-            em.weights, em.slice_weight, sim_state.sim, mask_flat,
-            ctx.vol_shape, ctx.disable_bias)
-        addon = jax.lax.psum(addon, AXIS)
-        cmap = jax.lax.psum(cmap, AXIS)
-
-        original = recon
-        recon, cmap = sr.apply_addon(recon, addon, cmap, alpha, min_i,
-                                     max_i, ctx.adaptive)
-        recon = sr.adaptive_regularization(recon, original, cmap, alpha,
-                                           lam, ctx.delta)
-
-        # simulate (volume replicated -> purely local gather)
-        sim, simw, inside = psf_ops.psf_gather(
-            geom, ctx.offsets, sume, recon.reshape(-1), mask_flat,
-            ctx.vol_shape)
-        sim_state = SimState(sim=sim, simw=simw, inside=inside,
-                             slice_inside=jnp.any(inside, axis=(1, 2)))
-
-        # M-step + E-step with global psum reductions
-        sigma2, mix, m = robust.mstep(
-            slices, gated, em.bias, em.scale, em.weights, sim_state.sim,
-            sim_state.simw, sr_iteration, em.mix, axis_name=AXIS)
-        em = em._replace(sigma2=sigma2.astype(jnp.float32),
-                         mix=mix.astype(jnp.float32),
-                         m=m.astype(jnp.float32))
-        weights, potential = robust.voxel_estep(
-            slices, gated, em.bias, em.scale, sim_state.sim,
-            sim_state.simw, em.sigma2, em.m, em.mix)
-        bad_scale = (em.scale < 0.2) | (em.scale > 5.0)
-        potential = jnp.where(excluded | bad_scale, -1.0, potential)
-        slice_weight, stats = robust.slice_estep(
-            potential, em.slice_weight, em.mix_s, axis_name=AXIS)
-        em = em._replace(weights=weights, slice_weight=slice_weight,
-                         mix_s=stats["mix_s"])
+    def f(slices, valid, geom, sume, em, sim_state, recon, vol_weights,
+          mask, mask_flat, excluded, alpha, lam, min_i, max_i,
+          sr_iteration):
+        em, sim_state, recon = inner(geom, sume, slices, valid, em,
+                                     sim_state, recon, vol_weights, mask,
+                                     mask_flat, excluded, alpha, lam,
+                                     min_i, max_i, sr_iteration)
         return recon, em, sim_state
 
-    sm = shard_map(
-        step, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), geom_spec, P(AXIS), em_spec, sim_spec,
-                  P(), P(), P(), P(), P(AXIS), P(), P(), P(), P(), P()),
-        out_specs=(P(), em_spec, sim_spec),
-        check_rep=False)
-    return jax.jit(sm)
+    return f
 
 
 def sharded_gaussian_reconstruction(ctx: svr_core.SVRContext, mesh: Mesh):
-    """Multi-chip initial reconstruction: local PSF scatter + psum."""
-    from jax.experimental.shard_map import shard_map
+    """Multi-chip initial reconstruction: local PSF scatter + psum.
 
-    geom_spec = psf_ops.SliceGeom(centre=P(AXIS), frac=P(AXIS), a3=P(AXIS),
-                                  slice_dim=P(AXIS), valid=P(AXIS))
+    Returns f(slices, valid, geom, sume, bias, scale, mask_flat)
+    -> (recon, vol_weights, voxel_count)."""
+    body = partial(svr_core.gaussian_reconstruction.__wrapped__, ctx,
+                   axis_name=AXIS)
 
     def step(slices, valid, geom, sume, bias, scale, mask_flat):
-        s = slices * scale[:, None, None] if ctx.disable_bias else \
-            robust.corrected_slice(slices, bias, scale)
-        gate = valid & (sume > 0.0)
-        p_val = jnp.where(gate, s, 0.0)
-        p_one = jnp.where(gate, 1.0, 0.0)
-        num, wts = psf_ops.psf_scatter(geom, ctx.offsets, sume,
-                                       [p_val, p_one], mask_flat,
-                                       ctx.vol_shape)
-        num = jax.lax.psum(num.reshape(ctx.vol_shape), AXIS)
-        wts = jax.lax.psum(wts.reshape(ctx.vol_shape), AXIS)
-        recon = sr.equalize(num, wts)
-        _, _, inside = psf_ops.psf_gather(geom, ctx.offsets, sume,
-                                          num.reshape(-1), mask_flat,
-                                          ctx.vol_shape)
-        voxel_count = jnp.sum(inside, axis=(1, 2))
-        return recon, wts, voxel_count
+        return body(geom, sume, slices, valid, bias, scale, mask_flat)
 
-    sm = shard_map(
-        step, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), geom_spec, P(AXIS), P(AXIS), P(AXIS),
-                  P()),
-        out_specs=(P(), P(), P(AXIS)),
-        check_rep=False)
+    sm = _shard_map(
+        step, mesh,
+        in_specs=(P(AXIS), P(AXIS), geom_spec(ctx), P(AXIS), P(AXIS),
+                  P(AXIS), P()),
+        out_specs=(P(), P(), P(AXIS)))
+    return jax.jit(sm)
+
+
+def sharded_simulate(ctx: svr_core.SVRContext, mesh: Mesh):
+    """Forward projection under the mesh (purely local: the volume is
+    replicated, every chip gathers its own slices)."""
+    body = partial(svr_core.simulate.__wrapped__, ctx)
+    sm = _shard_map(
+        body, mesh,
+        in_specs=(geom_spec(ctx), P(AXIS), P(), P()),
+        out_specs=SIM_SPEC)
+    return jax.jit(sm)
+
+
+def sharded_initialize_robust_statistics(ctx: svr_core.SVRContext,
+                                         mesh: Mesh):
+    """InitializeRobustStatistics with psum'd global error variance."""
+    body = partial(svr_core.initialize_robust_statistics.__wrapped__, ctx,
+                   axis_name=AXIS)
+    sm = _shard_map(
+        body, mesh,
+        in_specs=(P(AXIS), P(AXIS), SIM_SPEC, EM_SPEC, P(), P(), P(AXIS)),
+        out_specs=EM_SPEC)
+    return jax.jit(sm)
+
+
+def sharded_estep(ctx: svr_core.SVRContext, mesh: Mesh):
+    """Voxel + slice E-step with psum'd slice-mixture statistics."""
+    body = partial(svr_core.estep.__wrapped__, ctx, axis_name=AXIS)
+    sm = _shard_map(
+        body, mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), SIM_SPEC, EM_SPEC, P(AXIS)),
+        out_specs=(EM_SPEC, P(AXIS)))
+    return jax.jit(sm)
+
+
+def sharded_register_slices(reg_cfg, mesh: Mesh, recon_dx: float):
+    """Slice-to-volume registration under the mesh: the #1 hot loop
+    (registerMultipleSlicesToVolume, reconstruction_cuda2.cu:4001-4147)
+    sharded over slices — each chip optimizes its own slice range against
+    the replicated volume; no collectives are needed (per-slice problems
+    are independent; the reference's multi-GPU path partitions exactly the
+    same way via dev_slice_range_offset).
+
+    Returns f(recon, recon_w2i, transforms, mo, ofs_i2w, targets)
+    -> (new_transforms (N,4,4), similarity (N,))."""
+    from ..register import slice2vol as s2v
+
+    def step(recon, recon_w2i, transforms, mo, ofs_i2w, targets):
+        return s2v.register_slices_to_volume(
+            reg_cfg, recon, recon_w2i, transforms, mo, ofs_i2w, targets,
+            recon_dx)
+
+    sm = _shard_map(
+        step, mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)))
+    return jax.jit(sm)
+
+
+def sharded_build_geometry(ctx: svr_core.SVRContext, mesh: Mesh):
+    """Geometry rebuild under the mesh.
+
+    Per-slice matrices/tables shard; the fast engine's per-stack conv
+    volumes (shingle tables) are volume-space and computed replicated.
+    Returns f(recon_w2i, transforms, slice_i2w, slice_dims, valid,
+    mask_flat, stack_id) -> (geom, sume)."""
+
+    def step(recon_w2i, transforms, slice_i2w, slice_dims, valid,
+             mask_flat, stack_id):
+        return svr_core.build_geometry.__wrapped__(
+            ctx, recon_w2i, transforms, slice_i2w, slice_dims, valid,
+            mask_flat, stack_id)
+
+    sm = _shard_map(
+        step, mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS)),
+        out_specs=(geom_spec(ctx), P(AXIS)))
     return jax.jit(sm)

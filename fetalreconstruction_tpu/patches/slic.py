@@ -144,10 +144,18 @@ def extract_superpixel_patches(stacks: List[Image], thickness: List[float],
         num_spx = (int(num_superpixels) if num_superpixels
                    else max(int((a.x * a.y) / float(spx_size * spx_size)),
                             4))
+        # batched native SLIC over the whole stack (threaded C++ kernel);
+        # per-slice fallback below when the native tier is unavailable
+        batch_labels = native.slic_segment_batch(
+            np.ascontiguousarray(st.data, np.float32), num_spx,
+            compactness)
         for z in range(a.z):
             sdata = st.data[z]
-            labels = slic_labels(sdata, compactness=compactness,
-                                 num_superpixels=num_spx)
+            if batch_labels is not None:
+                labels = batch_labels[0][z]
+            else:
+                labels = slic_labels(sdata, compactness=compactness,
+                                     num_superpixels=num_spx)
             slice_attr = a.region(0, 0, z, a.x, a.y, z + 1)
             slice_attr.dz = float(thickness[s])
             for lab in range(labels.max() + 1):

@@ -40,7 +40,11 @@ class SVRConfig:
     force_excluded: List[int] = dataclasses.field(default_factory=list)
     quality_factor: float = 1.0
     debug: bool = False
+    no_log: bool = False          # --no_log: keep output on the console
     log_prefix: str = ""
+    num_stacks_tuner: int = 0     # use only the first N stacks (cc:406-418)
+    checkpoint_dir: str = ""      # per-outer-iteration .npz checkpoints
+    resume: bool = False          # resume from latest checkpoint
     save_slice_transformations: bool = False
     use_auto_template: bool = False
     tfolder: str = ""             # per-slice .dof resume folder
@@ -59,6 +63,9 @@ class SVRConfig:
     num_superpixels: float = 0.0  # --superpixel [noLabels]; 0 = auto
     manual_mask: str = ""         # --manualMask: per-slice segmentation
                                   # pushed through the PSF at the end
+
+    bspline: bool = False         # also produce the alternative B-spline
+                                  # reconstruction (irtkBSplineReconstruction)
 
     # engine knobs (TPU-side, no reference analog)
     engine: str = "fast"          # "fast" (TPU conv+trilinear) | "exact"

@@ -22,6 +22,7 @@ Reimplements the PVRreconstructionGPU application flow
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -47,11 +48,18 @@ class PVRConfig(SVRConfig):
     hierarchical: bool = False
     hier_levels: int = 3
     dilate_mask: int = 0
-    resample: float = 0.0  # optional stack resampling (mm)
+    resample: bool = False  # resample stacks to the recon resolution
+                            # before reconstruction
+                            # (irtkPatchBasedReconstruction.cpp:237-245)
+    # research-evaluation harness (patchBasedReconMain.cpp:137-144)
+    evaluate_gt: str = ""                 # --evaluateGt <gt.nii.gz>
+    evaluation_masks: List[str] = dataclasses.field(default_factory=list)
+    evaluate_baseline: bool = False       # --evaluateBaseline
+    patch_extraction: bool = False        # --patchExtraction
 
 
 def run_pvr(cfg: PVRConfig, stacks: Optional[List[Image]] = None,
-            mask: Optional[Image] = None) -> SVRResult:
+            mask: Optional[Image] = None, mesh=None) -> SVRResult:
     if stacks is None:
         stacks = [read_nifti(p) for p in cfg.input_stacks]
     if mask is None and cfg.mask is not None:
@@ -63,10 +71,34 @@ def run_pvr(cfg: PVRConfig, stacks: Optional[List[Image]] = None,
     if cfg.dilate_mask > 0:
         mask = Image(dilate(mask.data, cfg.dilate_mask).astype(np.float32),
                      mask.attr)
+    if cfg.resample:
+        # resample input stacks (linear) and mask (NN) to the isotropic
+        # recon resolution (irtkPatchBasedReconstruction.cpp:229-266; the
+        # reference uses B-spline for grey stacks — documented deviation)
+        from ..ops.sampling import resample_to_grid
+        import jax.numpy as jnp
+        res = cfg.resolution
+        out = []
+        for st in stacks:
+            a = st.attr.with_spacing(res, res, res)
+            d = resample_to_grid(jnp.asarray(st.data, jnp.float32),
+                                 jnp.asarray(st.attr.w2i(), jnp.float32),
+                                 a.shape_zyx,
+                                 jnp.asarray(a.i2w(), jnp.float32),
+                                 interp="linear", padding=0.0)
+            out.append(Image(np.asarray(d), a))
+        stacks = out
+        ma = mask.attr.with_spacing(res, res, res)
+        md = resample_to_grid(jnp.asarray(mask.data, jnp.float32),
+                              jnp.asarray(mask.attr.w2i(), jnp.float32),
+                              ma.shape_zyx,
+                              jnp.asarray(ma.i2w(), jnp.float32),
+                              interp="nn", padding=0.0)
+        mask = Image(np.asarray(md), ma)
 
     if not cfg.hierarchical:
         return _run_level(cfg, stacks, mask, cfg.patch_size,
-                          cfg.patch_stride, initial=None)
+                          cfg.patch_stride, initial=None, mesh=mesh)
 
     # hierarchical coarse-to-fine (patchBasedReconMain.cpp:422-431)
     size, stride = cfg.patch_size, cfg.patch_stride
@@ -78,27 +110,62 @@ def run_pvr(cfg: PVRConfig, stacks: Optional[List[Image]] = None,
     result = None
     for (psize, pstride) in sizes:
         result = _run_level(cfg, stacks, mask, psize, pstride,
-                            initial=result.reconstructed if result else None)
+                            initial=result.reconstructed if result else None,
+                            mesh=mesh)
     return result
 
 
 def _run_level(cfg: PVRConfig, stacks, mask, patch_size, patch_stride,
-               initial: Optional[Image]) -> SVRResult:
+               initial: Optional[Image], mesh=None) -> SVRResult:
     if cfg.superpixel:
         from ..patches.slic import extract_superpixel_patches
 
-        def factory(cropped_stacks, thickness, recon_mask_img,
-                    stack_transforms):
+        def base_factory(cropped_stacks, thickness, recon_mask_img,
+                         stack_transforms):
             return extract_superpixel_patches(
                 cropped_stacks, thickness, spx_size=cfg.spx_size,
                 spx_extend=cfg.spx_extend)
     else:
-        def factory(cropped_stacks, thickness, recon_mask_img,
-                    stack_transforms):
+        def base_factory(cropped_stacks, thickness, recon_mask_img,
+                         stack_transforms):
             return extract_patches(
                 cropped_stacks, thickness, patch_size, patch_stride,
                 mask=recon_mask_img, stack_transforms=stack_transforms,
                 use_full_slices=cfg.use_full_slices)
 
+    def factory(*a):
+        batch = base_factory(*a)
+        if cfg.patch_extraction:
+            # --patchExtraction: dump the patch batch
+            # (irtkPatchBasedReconstruction.cpp:351-385)
+            from ..evaluation.pvr_eval import dump_patches
+            dump_patches(batch, f"{cfg.log_prefix}patches_{patch_size}"
+                                f"_{patch_stride}.npz")
+        return batch
+
+    # per-iteration evaluation CSVs (Evaluate3d/EvaluateGt3d, cpp:570-580)
+    hook = None
+    tag = f"patch-size-{patch_size}-stride-{patch_stride}"
+    gt_img = read_nifti(cfg.evaluate_gt) if cfg.evaluate_gt else None
+    if gt_img is not None and cfg.evaluate_baseline:
+        from ..evaluation.pvr_eval import evaluate_baseline_3d
+        mx = max(float(np.max(s.data)) for s in stacks)
+        evaluate_baseline_3d(stacks, gt_img, mx, tag)
+    if gt_img is not None or cfg.evaluation_masks:
+        from ..evaluation import pvr_eval
+
+        def hook(it, recon_img):
+            if gt_img is not None:
+                pvr_eval.evaluate_gt_3d(
+                    it, recon_img, gt_img,
+                    float(np.max(gt_img.data)), tag,
+                    dssim_path=f"dssim-iter-{it}-size-{patch_size}"
+                               f"-{patch_stride}.nii.gz")
+            for mpath in cfg.evaluation_masks:
+                em = read_nifti(mpath)
+                name = os.path.splitext(
+                    os.path.basename(mpath))[0].replace(".nii", "")
+                pvr_eval.evaluate_3d(it, recon_img, stacks, em, tag, name)
+
     return run_svr(cfg, stacks=stacks, mask=mask, slice_factory=factory,
-                   reference_volume=initial)
+                   reference_volume=initial, iteration_hook=hook, mesh=mesh)

@@ -211,6 +211,7 @@ class SVRResult:
     excluded_slices: List[int]
     slice_inside: Optional[np.ndarray] = None  # (N,) bool
     manual_mask_volume: Optional[Image] = None  # --manualMask output
+    bspline_reconstructed: Optional[Image] = None  # --bspline output
 
     def inclusion_report(self) -> str:
         """Included/excluded/outside slice lists (Evaluate,
@@ -233,7 +234,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
             mask: Optional[Image] = None,
             slice_factory=None,
             reference_volume: Optional[Image] = None,
-            mesh=None) -> SVRResult:
+            mesh=None, iteration_hook=None) -> SVRResult:
     """slice_factory (optional): callable(cropped_stacks, thickness,
     recon_mask_img, stack_transforms) -> SliceBatch, used by the PVR
     pipeline to substitute patches for whole slices.
@@ -251,15 +252,36 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
 
     # ----- load inputs ----------------------------------------------------
     if stacks is None:
-        stacks = [read_nifti(p) for p in cfg.input_stacks]
+        from ..io.nifti import read_stacks
+        stacks = read_stacks(cfg.input_stacks)  # threaded native loader
         stacks = [Image(s.data.astype(np.float32), s.attr) for s in stacks]
     else:
         stacks = [Image(np.array(s.data, np.float32, copy=True),
                         s.attr.copy()) for s in stacks]
+    # split 4D stacks into 3D volumes, duplicating per-stack thickness /
+    # package entries (reconstruction.cc:279-303)
+    from ..core.image import split_4d
+    cfg_thickness, cfg_packages = list(cfg.thickness), list(cfg.packages)
+    if any(s.data.ndim == 4 for s in stacks):
+        split, thick, pkgs = [], [], []
+        for i, s in enumerate(stacks):
+            parts = split_4d(s.data, s.attr) if s.data.ndim == 4 else [s]
+            split.extend(parts)
+            if cfg_thickness:
+                thick.extend([cfg_thickness[i]] * len(parts))
+            if cfg_packages:
+                pkgs.extend([cfg_packages[i]] * len(parts))
+        stacks, cfg_thickness, cfg_packages = split, thick, pkgs
+    # --num_stacks_tuner: use only the first N stacks
+    # (reconstruction.cc:406-418)
+    if cfg.num_stacks_tuner > 0:
+        stacks = stacks[:cfg.num_stacks_tuner]
+        cfg_thickness = cfg_thickness[:cfg.num_stacks_tuner]
+        cfg_packages = cfg_packages[:cfg.num_stacks_tuner]
     if mask is None and cfg.mask is not None:
         mask = read_nifti(cfg.mask)
     n_stacks = len(stacks)
-    thickness = list(cfg.thickness) if cfg.thickness else \
+    thickness = cfg_thickness if cfg_thickness else \
         [2.0 * s.attr.dz for s in stacks]
     tmpl = cfg.template_number
     if cfg.use_auto_template:
@@ -313,8 +335,21 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     stats.sample("template+mask")
 
     # ----- stack registrations x2, crop, intensity matching ---------------
+    # the target is the template stack with voxels outside the mask zeroed
+    # (irtkReconstructionGPU.cc:956-988); the mask lives on the recon grid,
+    # so resample it onto the template stack grid first
+    def _template_mask():
+        if mask is None:
+            return None
+        if external_target is not None:
+            # external target already lives in template world
+            return transform_mask(external_target, recon_mask_img,
+                                  np.eye(4))
+        return transform_mask(stacks[tmpl], recon_mask_img,
+                              stack_transforms[tmpl])
     stack_transforms = stack_registrations(
-        stacks, tmpl, mask=None, external_template=external_target,
+        stacks, tmpl, mask=_template_mask(),
+        external_template=external_target,
         use_nmi=cfg.use_nmi or external_target is not None)
     for i in range(n_stacks):
         if i == tmpl:
@@ -324,10 +359,14 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         if manual_img is not None and i == 0:
             manual_img = crop_image(manual_img, mi)
     stack_transforms = stack_registrations(
-        stacks, tmpl, mask=None, init_transforms=stack_transforms,
+        stacks, tmpl, mask=_template_mask(),
+        init_transforms=stack_transforms,
         external_template=external_target,
         use_nmi=cfg.use_nmi or external_target is not None)
     stats.sample("stack registration")
+    if cfg.debug:
+        for i, st in enumerate(stacks):
+            write_nifti(st, f"{cfg.log_prefix}stack{i}.nii.gz")
 
     stack_factors = match_stack_intensities(
         stacks, stack_transforms, recon_mask_img, cfg.average_value,
@@ -451,34 +490,62 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     small_slices = np.zeros((n,), bool)
     stats.sample("device setup")
 
+    # ----- checkpoint / resume ---------------------------------------------
+    # outer-iteration granularity: (iteration, volume, per-slice transforms)
+    # is the complete resume state — EM state is reinitialized at the top of
+    # every outer iteration anyway (InitializeEMValues, reconstruction.cc:935)
+    start_it = 0
+    if cfg.checkpoint_dir:
+        import os
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        if cfg.resume:
+            from .checkpoint import load_checkpoint
+            cps = sorted(f for f in os.listdir(cfg.checkpoint_dir)
+                         if f.startswith("checkpoint_iter")
+                         and f.endswith(".npz"))
+            if cps:
+                state = load_checkpoint(
+                    os.path.join(cfg.checkpoint_dir, cps[-1]))
+                # redo the checkpointed iteration's successor; if the run
+                # was already complete, redo the last iteration (keeps the
+                # final-restoration state well-defined)
+                start_it = min(state["iteration"] + 1,
+                               max(cfg.iterations - 1, 0))
+                recon = jnp.asarray(state["recon"].data)
+                transforms = np.asarray(state["transforms"], np.float64)
+                have_reference = True
+
     # ----- outer loop -----------------------------------------------------
     iterations = cfg.iterations
     levels = cfg.multires_levels
     cur_lambda = cfg.lambda_
-    for it in range(iterations):
+    eval_log = None
+    if not cfg.no_log:
+        eval_log = open(cfg.log_prefix + "log-evaluation.txt", "a")
+    for it in range(start_it, iterations):
         # registration (at iteration 0 only with a reference volume,
         # reconstruction.cc:826)
         if it > 0 or have_reference:
-            have_pkgs = (len(cfg.packages) == n_stacks
+            have_pkgs = (len(cfg_packages) == n_stacks
                          and it <= iterations * (levels - 1) // levels
                          and it < iterations - 1)
             if have_pkgs:
                 recon_img = Image(np.asarray(recon), recon_attr.copy())
                 if it == 1:
                     transforms = package_to_volume(
-                        stacks, cfg.packages, recon_img, transforms,
+                        stacks, cfg_packages, recon_img, transforms,
                         use_nmi=cfg.use_nmi)
                 elif it == 2:
                     transforms = package_to_volume(
-                        stacks, cfg.packages, recon_img, transforms,
+                        stacks, cfg_packages, recon_img, transforms,
                         evenodd=True, use_nmi=cfg.use_nmi)
                 elif it == 3:
                     transforms = package_to_volume(
-                        stacks, cfg.packages, recon_img, transforms,
+                        stacks, cfg_packages, recon_img, transforms,
                         evenodd=True, half=True, use_nmi=cfg.use_nmi)
                 else:
                     transforms = package_to_volume(
-                        stacks, cfg.packages, recon_img, transforms,
+                        stacks, cfg_packages, recon_img, transforms,
                         evenodd=True, half=True, half_iter=it - 2,
                         use_nmi=cfg.use_nmi)
                     have_pkgs = False  # fall through to slice-to-volume
@@ -548,6 +615,53 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
 
         recon = mask_volume(recon, mask_j)
 
+        # per-iteration observability: debug dumps (reconstruction.cc:1192
+        # image%i_GPU.nii.gz and the Save* dumps), inclusion report to
+        # log-evaluation.txt (Evaluate, .cc:4540), checkpoint save
+        sw = np.asarray(em.slice_weight)
+        if eval_log is not None:
+            inside = np.asarray(sim_state.slice_inside)
+            inc = np.nonzero((sw >= 0.5) & inside)[0]
+            exc = np.nonzero((sw < 0.5) & inside)[0]
+            outs = np.nonzero(~inside)[0]
+            eval_log.write(
+                "Iteration %d:\nIncluded slices: %s\nTotal: %d\n"
+                "Excluded slices: %s\nTotal: %d\n"
+                "Outside slices: %s\nTotal: %d\n"
+                % (it, " ".join(map(str, inc)), len(inc),
+                   " ".join(map(str, exc)), len(exc),
+                   " ".join(map(str, outs)), len(outs)))
+            eval_log.flush()
+        if cfg.debug:
+            from ..utils.tracing import check_finite
+            check_finite((recon, em.weights, em.bias, em.scale,
+                          em.slice_weight, sim_state.sim),
+                         name=f"iteration {it}")
+            write_nifti(Image(np.asarray(recon), recon_attr.copy()),
+                        f"{cfg.log_prefix}image{it}.nii.gz")
+            # confidence map + EM dumps (SaveConfidenceMap/SaveBiasFields/
+            # SlicesInfo, .cc:4870-4937)
+            write_nifti(Image(np.asarray(vol_weights), recon_attr.copy()),
+                        f"{cfg.log_prefix}confidence_map{it}.nii.gz")
+            np.savez(f"{cfg.log_prefix}em_state{it}.npz",
+                     slice_weights=sw, scales=np.asarray(em.scale),
+                     bias=np.asarray(em.bias),
+                     voxel_weights=np.asarray(em.weights))
+        if cfg.checkpoint_dir:
+            from .checkpoint import save_checkpoint
+            save_checkpoint(
+                f"{cfg.checkpoint_dir}/checkpoint_iter{it:03d}.npz", it,
+                Image(np.asarray(recon), recon_attr.copy()), transforms,
+                slice_weights=sw, scales=np.asarray(em.scale),
+                stack_factors=stack_factors)
+        if iteration_hook is not None:
+            iteration_hook(it, Image(np.asarray(recon), recon_attr.copy()),
+                           np.asarray(transforms))
+        stats.sample("iteration tail")
+
+    if eval_log is not None:
+        eval_log.close()
+
     # ----- final intensity restoration ------------------------------------
     # RestoreSliceIntensities (.cc:1003) + ScaleVolume (.cc:1034)
     factors = jnp.asarray(stack_factors)[jnp.asarray(batch.stack_index)]
@@ -578,10 +692,33 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         manual_vol = Image(np.asarray(mvol), recon_attr.copy())
         stats.sample("manual mask transform")
 
+    # --bspline: alternative smooth reconstruction by multi-level B-spline
+    # fitting to the scattered (restored) slice samples
+    # (irtkBSplineReconstruction.cc:76 Reconstruct; off the main path)
+    bspline_vol = None
+    if cfg.bspline:
+        from ..sr.bspline import bspline_reconstruct
+        fwd = np.asarray(svr_core.slice_forward_matrices(
+            recon_w2i_j, jnp.asarray(transforms, jnp.float32),
+            slice_i2w_j))
+        nb, hb, wb = batch.data.shape
+        px, py = np.meshgrid(np.arange(wb, dtype=np.float32),
+                             np.arange(hb, dtype=np.float32))
+        pos = (fwd[:, None, None, :3, 0] * px[None, :, :, None]
+               + fwd[:, None, None, :3, 1] * py[None, :, :, None]
+               + fwd[:, None, None, :3, 3])
+        keep = np.asarray(restored) > 0
+        bvol = bspline_reconstruct(pos[keep], np.asarray(restored)[keep],
+                                   recon_attr.shape_zyx)
+        bvol = jnp.where(mask_j != 0, bvol, 0.0)
+        bspline_vol = Image(np.asarray(bvol), recon_attr.copy())
+        stats.sample("bspline reconstruction")
+
     out = Image(np.asarray(recon), recon_attr.copy())
     return SVRResult(reconstructed=out, transforms=transforms,
                      slice_weights=np.asarray(em.slice_weight),
                      stack_factors=stack_factors, stats=stats,
                      excluded_slices=list(np.nonzero(small_slices)[0]),
                      slice_inside=np.asarray(sim_state.slice_inside),
-                     manual_mask_volume=manual_vol)
+                     manual_mask_volume=manual_vol,
+                     bspline_reconstructed=bspline_vol)

@@ -77,29 +77,34 @@ def slice_forward_matrices(recon_w2i, transforms, slice_i2w):
 
 @partial(jax.jit, static_argnames=("ctx",))
 def build_geometry(ctx: SVRContext, recon_w2i, transforms, slice_i2w,
-                   slice_dims, valid, mask_flat=None):
+                   slice_dims, valid, mask_flat=None, stack_id=None):
     """Recompute geometry + PSF sums after a transform update
     (replaces the reference's CoeffInit / on-the-fly pass 1).
 
-    mask_flat is only used by the fast engine (cached conv(mask))."""
+    mask_flat/stack_id are only used by the fast engine (cached
+    conv(mask); per-slice kernel selection)."""
     fwd = slice_forward_matrices(recon_w2i, transforms, slice_i2w)
     if ctx.fast is not None:
         geom = psf_fast.make_fast_geom(ctx.fast, fwd, valid, ctx.vol_shape,
-                                       mask_flat)
+                                       mask_flat, stack_id=stack_id)
         return geom, geom.sume
     geom = psf_ops.make_slice_geom(fwd, slice_dims, valid)
     sume = psf_ops.psf_sums(geom, ctx.offsets, ctx.vol_shape)
     return geom, sume
 
 
-@partial(jax.jit, static_argnames=("ctx",))
+@partial(jax.jit, static_argnames=("ctx", "axis_name"))
 def gaussian_reconstruction(ctx: SVRContext, geom, sume, slices, valid,
-                            bias, scale, mask_flat):
+                            bias, scale, mask_flat, axis_name=None):
     """Initial PSF-weighted average volume
     (gaussianReconstructionKernel3D_tex + equalizeVol).
 
+    axis_name: slice-sharded mesh axis (inside shard_map) — scatter
+    outputs are per-shard partial volumes, combined by psum.
     Returns (recon [z,y,x], vol_weights [z,y,x], voxel_count (N,)).
     """
+    psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name else \
+        (lambda v: v)
     if ctx.disable_bias:
         s = slices * scale[:, None, None]
     else:
@@ -111,14 +116,15 @@ def gaussian_reconstruction(ctx: SVRContext, geom, sume, slices, valid,
     if ctx.fast is not None:
         num, wts = psf_fast.fast_scatter2(ctx.fast, geom, p_val, p_one,
                                           mask_vol, ctx.vol_shape)
+        num, wts = psum(num), psum(wts)
         recon = sr.equalize(num, wts)
         _, _, inside = psf_fast.fast_simulate(ctx.fast, geom, num,
                                               mask_vol, ctx.vol_shape)
         return recon, wts, jnp.sum(inside, axis=(1, 2))
     num, wts = psf_ops.psf_scatter(geom, ctx.offsets, sume, [p_val, p_one],
                                    mask_flat, ctx.vol_shape)
-    num = num.reshape(ctx.vol_shape)
-    wts = wts.reshape(ctx.vol_shape)
+    num = psum(num.reshape(ctx.vol_shape))
+    wts = psum(wts.reshape(ctx.vol_shape))
     recon = sr.equalize(num, wts)
     # per-slice voxel count: pixels that scattered at least one voxel
     # (sliceVoxel_count, cuda2.cu:291-294) — detected via the gather path
@@ -159,13 +165,14 @@ def init_em_state(n_slices: int, valid) -> EMState:
         mix_s=jnp.asarray(0.9, jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("ctx",))
+@partial(jax.jit, static_argnames=("ctx", "axis_name"))
 def initialize_robust_statistics(ctx: SVRContext, slices, valid, sim_state,
                                  em: EMState, max_intensity, min_intensity,
-                                 excluded):
+                                 excluded, axis_name=None):
     """InitializeRobustStatistics (.cc:3022-3069) + slice-inside zeroing."""
     sigma2, _ = robust.init_robust_stats(slices, valid, sim_state.sim,
-                                         sim_state.simw, sim_state.inside)
+                                         sim_state.simw, sim_state.inside,
+                                         axis_name=axis_name)
     m = 1.0 / (2.1 * max_intensity - 1.9 * min_intensity)
     slice_weight = jnp.where(sim_state.slice_inside & ~excluded,
                              em.slice_weight, 0.0)
@@ -176,9 +183,9 @@ def initialize_robust_statistics(ctx: SVRContext, slices, valid, sim_state,
                        slice_weight=slice_weight)
 
 
-@partial(jax.jit, static_argnames=("ctx",))
+@partial(jax.jit, static_argnames=("ctx", "axis_name"))
 def estep(ctx: SVRContext, slices, valid, sume, sim_state, em: EMState,
-          excluded):
+          excluded, axis_name=None):
     """Voxel + slice E-step (EStepGPU, .cc:3184-3440).
 
     excluded: (N,) bool — force-excluded or small slices; scale-based
@@ -190,17 +197,18 @@ def estep(ctx: SVRContext, slices, valid, sume, sim_state, em: EMState,
     bad_scale = (em.scale < 0.2) | (em.scale > 5.0)
     potential = jnp.where(excluded | bad_scale, -1.0, potential)
     slice_weight, stats = robust.slice_estep(potential, em.slice_weight,
-                                             em.mix_s)
+                                             em.mix_s, axis_name=axis_name)
     return em._replace(weights=weights, slice_weight=slice_weight,
                        mix_s=stats["mix_s"]), potential
 
 
-@partial(jax.jit, static_argnames=("ctx", "iteration"))
+@partial(jax.jit, static_argnames=("ctx", "iteration", "axis_name"))
 def mstep(ctx: SVRContext, slices, valid, sume, sim_state, em: EMState,
-          iteration: int):
+          iteration: int, axis_name=None):
     sigma2, mix, m = robust.mstep(
         slices, valid & (sume > 0), em.bias, em.scale, em.weights,
-        sim_state.sim, sim_state.simw, iteration, em.mix)
+        sim_state.sim, sim_state.simw, iteration, em.mix,
+        axis_name=axis_name)
     return em._replace(sigma2=sigma2.astype(jnp.float32),
                        mix=mix.astype(jnp.float32), m=m.astype(jnp.float32))
 
@@ -248,12 +256,18 @@ def superresolution_step(ctx: SVRContext, geom, sume, slices, valid,
                                  max_intensity, ctx.adaptive)
     recon = sr.adaptive_regularization(recon, original, cmap, alpha,
                                        lambda_, ctx.delta)
+    if ctx.global_bias_correction:
+        recon = bias_mod.bias_correct_volume(
+            recon, original, mask_flat.reshape(ctx.vol_shape),
+            min_intensity, max_intensity, ctx.low_intensity_cutoff,
+            ctx.sigma_bias, ctx.vol_spacing)
     return recon, cmap
 
 
-@partial(jax.jit, static_argnames=("ctx",))
+@partial(jax.jit, static_argnames=("ctx", "axis_name"))
 def normalise_bias_step(ctx: SVRContext, geom, sume, valid, em: EMState,
-                        recon, vol_weights, mask, mask_flat):
+                        recon, vol_weights, mask, mask_flat,
+                        axis_name=None):
     if ctx.fast is not None:
         logs = jnp.log(jnp.maximum(em.scale, 1e-30))
         b = jnp.where(valid & (em.scale[:, None, None] > 0),
@@ -262,6 +276,8 @@ def normalise_bias_step(ctx: SVRContext, geom, sume, valid, em: EMState,
         vol_bias, _ = psf_fast.fast_scatter2(
             ctx.fast, geom, payload, jnp.zeros_like(payload),
             mask_flat.reshape(ctx.vol_shape), ctx.vol_shape)
+        if axis_name is not None:
+            vol_bias = jax.lax.psum(vol_bias, axis_name)
         ok = vol_weights > 0
         vol_bias = jnp.where(ok, vol_bias / jnp.where(ok, vol_weights,
                                                       1.0), 0.0)
@@ -282,18 +298,25 @@ def normalise_bias_step(ctx: SVRContext, geom, sume, valid, em: EMState,
 
 
 @partial(jax.jit, static_argnames=("ctx", "do_bias", "do_scale",
-                                   "do_normalise_bias"),
+                                   "do_normalise_bias", "axis_name"),
          donate_argnums=(5, 6, 7))
 def inner_iteration(ctx: SVRContext, geom, sume, slices, valid,
                     em: EMState, sim_state: SimState, recon, vol_weights,
                     mask, mask_flat, excluded, alpha, lam, min_intensity,
                     max_intensity, sr_iteration,
                     do_bias: bool = False, do_scale: bool = True,
-                    do_normalise_bias: bool = False):
+                    do_normalise_bias: bool = False, axis_name=None):
     """One fused inner SR/EM iteration (reconstruction.cc:1013-1110):
     [bias], [scale], superresolution+regularize, [normalise bias],
     simulate, M-step, E-step — a single XLA program with donated EM/sim/
-    recon buffers."""
+    recon buffers.
+
+    axis_name: slice-sharded mesh axis (when traced inside shard_map) —
+    scatter outputs become per-shard partial volumes combined by psum,
+    and the EM scalar reductions psum their partials; everything
+    volume-space (regularization, volume bias) runs replicated.  This is
+    the TPU-native form of the reference's reduce-to-root + broadcast
+    (reconstruction_cuda2.cu:2225-2239, 2368-2373)."""
     gated = valid & (sume > 0)
     if do_bias:
         b = bias_mod.bias_step(slices, gated, em.bias, em.scale,
@@ -323,15 +346,24 @@ def inner_iteration(ctx: SVRContext, geom, sume, slices, valid,
             geom, ctx.offsets, sume, slices, valid, em.bias, em.scale,
             em.weights, em.slice_weight, sim_state.sim, mask_flat,
             ctx.vol_shape, ctx.disable_bias)
+    if axis_name is not None:
+        addon = jax.lax.psum(addon, axis_name)
+        cmap = jax.lax.psum(cmap, axis_name)
     original = recon
     recon, cmap = sr.apply_addon(recon, addon, cmap, alpha, min_intensity,
                                  max_intensity, ctx.adaptive)
     recon = sr.adaptive_regularization(recon, original, cmap, alpha, lam,
                                        ctx.delta)
+    if ctx.global_bias_correction:
+        # BiasCorrectVolume vs the pre-update volume
+        # (irtkReconstructionGPU.cc:4107-4108)
+        recon = bias_mod.bias_correct_volume(
+            recon, original, mask, min_intensity, max_intensity,
+            ctx.low_intensity_cutoff, ctx.sigma_bias, ctx.vol_spacing)
     if do_normalise_bias:
         recon = normalise_bias_step.__wrapped__(
             ctx, geom, sume, valid, em, recon, vol_weights, mask,
-            mask_flat)
+            mask_flat, axis_name=axis_name)
 
     # --- simulate + M/E steps
     if ctx.fast is not None:
@@ -346,7 +378,7 @@ def inner_iteration(ctx: SVRContext, geom, sume, slices, valid,
                          slice_inside=jnp.any(inside, axis=(1, 2)))
     sigma2, mix, m = robust.mstep(
         slices, gated, em.bias, em.scale, em.weights, sim_state.sim,
-        sim_state.simw, sr_iteration, em.mix)
+        sim_state.simw, sr_iteration, em.mix, axis_name=axis_name)
     em = em._replace(sigma2=sigma2.astype(jnp.float32),
                      mix=mix.astype(jnp.float32), m=m.astype(jnp.float32))
     weights, potential = robust.voxel_estep(
@@ -355,7 +387,7 @@ def inner_iteration(ctx: SVRContext, geom, sume, slices, valid,
     bad_scale = (em.scale < 0.2) | (em.scale > 5.0)
     potential = jnp.where(excluded | bad_scale, -1.0, potential)
     slice_weight, stats = robust.slice_estep(potential, em.slice_weight,
-                                             em.mix_s)
+                                             em.mix_s, axis_name=axis_name)
     em = em._replace(weights=weights, slice_weight=slice_weight,
                      mix_s=stats["mix_s"])
     return em, sim_state, recon

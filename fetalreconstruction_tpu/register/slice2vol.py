@@ -120,7 +120,14 @@ def generate_slices(recon, recon_w2i, params, ofs_i2w, shape_hw, insofs):
     (genenerateRegistrationSlices): pixel (x, y, insofs*2) of the
     origin-zeroed resampled slice grid -> world via ofs_i2w -> T -> volume.
 
-    Returns (N, H, W) with -1 padding where the sample is <= 0.
+    Returns (N, H, W).  Samples outside the volume read 0 (the reference's
+    border-addressed texture) and only NEGATIVE samples become -1 padding
+    (genenerateRegistrationSlices `if (val < 0) val = -1`,
+    reconstruction_cuda2.cu:3526-3528) — for a non-negative volume every
+    generated pixel is therefore valid, so the NCC support is the FIXED
+    set of target-valid pixels.  (A content-dependent `> 0` keep rule
+    would let slices drift toward high-content regions: NCC over a
+    shrinking support rewards overlap loss.)
     """
     n = params.shape[0]
     h, w = shape_hw
@@ -134,7 +141,7 @@ def generate_slices(recon, recon_w2i, params, ofs_i2w, shape_hw, insofs):
            + m[:, None, None, :3, 2] * zval
            + m[:, None, None, :3, 3])
     vals = sample_linear(recon, pts, padding=0.0)
-    return jnp.where(vals > 0.0, vals, -1.0)
+    return jnp.where(vals < 0.0, -1.0, vals)
 
 
 def _masked_mean(batch):

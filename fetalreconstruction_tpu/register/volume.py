@@ -177,6 +177,15 @@ def register_volumes(cfg: VolRegConfig, target: Image, source: Image,
         tl = _pyramid_level(target0, level, tp, cfg.blur_z)
         sl = _pyramid_level(source, level, sp, cfg.blur_z,
                             iso=cfg.source_iso)
+        # degenerate-level guard: a coarse level whose (possibly
+        # mask-zeroed) target keeps only a handful of valid voxels gives a
+        # meaningless similarity and lets the 2*2^level-mm step schedule
+        # walk arbitrarily far (observed: 21 mm divergence on a small test
+        # phantom).  The reference never hits this because its clinical
+        # stacks are >= 72^2 x 21 voxels at the coarsest level; skip such
+        # levels instead of optimizing noise.
+        if int(np.sum(np.asarray(tl.data) > tp)) < 200:
+            continue
         tdata = jnp.asarray(tl.data)
         sdata = jnp.asarray(sl.data)
         if cfg.metric == "nmi":

@@ -48,10 +48,15 @@ def make_stack_attr(gt: Image, rot_deg, in_plane=2.0, dz=3.0):
 
 
 def simulate_stacks(gt: Image, n_stacks=2, thickness=None, in_plane=2.0,
-                    dz=3.0, motions=None, noise=0.0, seed=0):
+                    dz=3.0, motions=None, noise=0.0, seed=0,
+                    slice_motions=None):
     """Forward-simulate thick-slice stacks from GT through the PSF model.
 
     motions: list of per-stack 6-param rigid motions (slice transform).
+    slice_motions: optional list (per stack) of (n_slices, 6) PER-SLICE
+    rigid jitter — composed on top of the stack motion, so the simulated
+    stack has genuine inter-slice motion that only slice-to-volume
+    registration can undo.
     Returns (stacks, true_transforms_per_stack).
     """
     rng = np.random.default_rng(seed)
@@ -63,7 +68,13 @@ def simulate_stacks(gt: Image, n_stacks=2, thickness=None, in_plane=2.0,
         th = thickness or 2 * dz
         stack_img = Image(np.zeros(attr.shape_zyx, np.float32), attr)
         batch = create_slices([stack_img], [th])
-        fwd = np.einsum("ij,jk,nkl->nil", gt.attr.w2i(), t, batch.i2w)
+        if slice_motions is not None and slice_motions[s] is not None:
+            per = np.stack([rigid_matrix(p) @ t
+                            for p in slice_motions[s]])
+            fwd = np.einsum("ij,njk,nkl->nil", gt.attr.w2i(), per,
+                            batch.i2w)
+        else:
+            fwd = np.einsum("ij,jk,nkl->nil", gt.attr.w2i(), t, batch.i2w)
         geom = psf_ops.make_slice_geom(jnp.asarray(fwd, jnp.float32),
                                        jnp.asarray(batch.dims),
                                        jnp.ones(batch.data.shape, bool))

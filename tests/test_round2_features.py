@@ -1,0 +1,145 @@
+"""Round-2 feature coverage: BiasCorrectVolume, PVR evaluation CSVs,
+4D stack splitting, checkpoint/resume wiring, CLI plumbing."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fetalreconstruction_tpu.core.geometry import ImageAttributes
+from fetalreconstruction_tpu.core.image import Image
+
+
+def test_bias_correct_volume_removes_low_freq_field():
+    """BiasCorrectVolume (irtkReconstructionGPU.cc:4430): a smooth
+    multiplicative field between recon and original is removed."""
+    from fetalreconstruction_tpu.em.bias import bias_correct_volume
+    n = 24
+    z, y, x = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing="ij")
+    original = np.where(x ** 2 + y ** 2 + z ** 2 < 0.8, 400.0, 0.0)
+    field = np.exp(0.4 * x)          # smooth multiplicative bias
+    recon = original * field
+    mask = (original > 0).astype(np.float32)
+    out = np.asarray(bias_correct_volume(
+        jnp.asarray(recon, jnp.float32), jnp.asarray(original, jnp.float32),
+        jnp.asarray(mask), 0.0, 500.0, 0.01, 12.0, (2.0, 2.0, 2.0)))
+    m = mask > 0
+    err_before = np.abs(recon - original)[m].mean()
+    err_after = np.abs(out - original)[m].mean()
+    # interior correction is near-exact; the mask-boundary ring (where the
+    # blurred field is biased toward the mean) dominates the residual
+    assert err_after < 0.6 * err_before, (err_before, err_after)
+    # outside the mask untouched
+    assert np.array_equal(out[~m], recon[~m])
+
+
+def test_low_intensity_cutoff_gates_correction():
+    from fetalreconstruction_tpu.em.bias import bias_correct_volume
+    n = 16
+    original = np.full((n, n, n), 2.0, np.float32)  # below cutoff
+    recon = original * 1.5
+    mask = np.ones_like(original)
+    out = np.asarray(bias_correct_volume(
+        jnp.asarray(recon), jnp.asarray(original), jnp.asarray(mask),
+        0.0, 1000.0, 0.01, 12.0, (2.0, 2.0, 2.0)))
+    # everything below cutoff*max -> residual 0 -> field 1 -> clamped copy
+    np.testing.assert_allclose(out, recon, rtol=1e-5)
+
+
+def _toy_image(n=20, seed=0, spacing=2.0):
+    rng = np.random.default_rng(seed)
+    a = ImageAttributes(x=n, y=n, z=n, dx=spacing, dy=spacing, dz=spacing)
+    z, y, x = np.meshgrid(*[np.linspace(-1, 1, n)] * 3, indexing="ij")
+    d = np.where(x ** 2 + y ** 2 + z ** 2 < 0.8,
+                 100.0 + 20 * rng.normal(size=(n, n, n)), 0.0)
+    return Image(np.maximum(d, 0).astype(np.float32), a)
+
+
+def test_pvr_eval_gt_csv(tmp_path):
+    from fetalreconstruction_tpu.evaluation.pvr_eval import evaluate_gt_3d
+    gt = _toy_image(seed=1)
+    recon = Image(gt.data * 1.05 + 1.0, gt.attr.copy())
+    csv = str(tmp_path / "log-evaluate-Gt.csv")
+    r0 = evaluate_gt_3d(0, recon, gt, float(gt.data.max()), "t", csv)
+    r1 = evaluate_gt_3d(1, recon, gt, float(gt.data.max()), "t", csv)
+    lines = open(csv).read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 rows
+    assert lines[0].startswith("t,MSE,PSNR,SSIM")
+    assert r0["psnr"] > 20 and 0.5 < r0["ssim"] <= 1.0
+    assert abs(r0["psnr"] - r1["psnr"]) < 1e-9
+
+
+def test_pvr_eval_masked_stacks(tmp_path):
+    from fetalreconstruction_tpu.evaluation.pvr_eval import evaluate_3d
+    gt = _toy_image(seed=2)
+    recon = Image(gt.data.copy(), gt.attr.copy())
+    m = Image((gt.data > 0).astype(np.float32), gt.attr.copy())
+    evaluate_3d(0, recon, [gt, gt], m, "t", "brain_1",
+                csv_dir=str(tmp_path))
+    lines = open(tmp_path / "log-evaluate-brain_1.csv").read().splitlines()
+    assert len(lines) == 3  # header + one row per stack
+
+
+def test_ssim_identity_is_one():
+    from fetalreconstruction_tpu.evaluation.pvr_eval import ssim_dssim
+    img = _toy_image(seed=3).data.astype(np.float64)
+    s, d, _ = ssim_dssim(img, img, img > 0)
+    assert s > 0.999 and d < 1e-3
+
+
+def test_split_4d_in_run_svr(monkeypatch):
+    """A 4D input stack must be split into 3D stacks before slicing
+    (reconstruction.cc:279-303)."""
+    from fetalreconstruction_tpu.core.image import split_4d
+    img = _toy_image(n=16)
+    d4 = np.stack([img.data, img.data * 1.1])
+    a = img.attr.copy()
+    a.t = 2
+    parts = split_4d(d4, a)
+    assert len(parts) == 2
+    assert parts[0].data.shape == (16, 16, 16)
+    assert parts[1].attr.t == 1
+
+
+def test_checkpoint_resume_cycle(tmp_path):
+    from fetalreconstruction_tpu.pipeline.checkpoint import (load_checkpoint,
+                                                             save_checkpoint)
+    img = _toy_image(n=12)
+    t = np.tile(np.eye(4), (5, 1, 1))
+    t[2, 0, 3] = 1.5
+    path = str(tmp_path / "checkpoint_iter000.npz")
+    save_checkpoint(path, 0, img, t,
+                    slice_weights=np.linspace(0, 1, 5),
+                    scales=np.ones(5), stack_factors=np.asarray([2.0]))
+    state = load_checkpoint(path)
+    assert state["iteration"] == 0
+    np.testing.assert_allclose(state["recon"].data, img.data)
+    np.testing.assert_allclose(state["transforms"], t)
+    np.testing.assert_allclose(state["stack_factors"], [2.0])
+
+
+def test_cli_parsers_accept_new_flags():
+    from fetalreconstruction_tpu.cli.svr_main import build_parser, make_mesh
+    args = build_parser().parse_args(
+        ["-i", "a.nii", "-m", "m.nii", "--checkpoint", "/tmp/cp",
+         "--resume", "--mesh", "4", "--bspline", "--num_stacks_tuner", "2",
+         "--no_log"])
+    assert args.checkpoint == "/tmp/cp" and args.resume and args.mesh == 4
+    assert args.bspline and args.num_stacks_tuner == 2
+    from fetalreconstruction_tpu.cli.pvr_main import build_parser as pvr_p
+    pargs = pvr_p().parse_args(
+        ["-i", "a.nii", "--resample", "--evaluateGt", "gt.nii",
+         "--evaluation", "m1.nii", "m2.nii", "--evaluateBaseline",
+         "--patchExtraction"])
+    assert pargs.resample is True
+    assert pargs.evaluation == ["m1.nii", "m2.nii"]
+    # 8 virtual devices -> a 4-device mesh builds
+    mesh = make_mesh(4)
+    assert mesh is not None and mesh.devices.size == 4
+
+
+def test_num_stacks_tuner_in_parser():
+    from fetalreconstruction_tpu.cli.svr_main import build_parser
+    args = build_parser().parse_args(["-i", "a", "--num_stacks_tuner", "3"])
+    assert args.num_stacks_tuner == 3

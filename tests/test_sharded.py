@@ -126,6 +126,109 @@ def test_sharded_matches_single_device(setup):
                        atol=2e-2)
 
 
+def test_sharded_fast_engine_matches_single_device(setup):
+    """The production (fast conv+trilinear) engine under shard_map must
+    reproduce the single-device fast-engine numbers exactly — this is the
+    multi-chip production path (VERDICT round 1 item 2)."""
+    from fetalreconstruction_tpu.ops import psf_fast as pf
+
+    s = setup
+    batch = s["batch"]
+    n = s["n"]
+    ra = s["gt"].attr
+    # pad stack_index to the mesh-padded slice count
+    sidx = np.asarray(batch.stack_index)
+    if len(sidx) < n:
+        sidx = np.concatenate([sidx, np.full((n - len(sidx),), sidx[-1],
+                                             np.int32)])
+    support = int(pf_support(batch, ra))
+    fast = pf.FastPSF.from_batch(batch, ra.w2i(), support)
+    ctx = svr_core.SVRContext(
+        vol_shape=ra.shape_zyx, vol_spacing=(ra.dx, ra.dy, ra.dz),
+        offsets=s["ctx"].offsets, slice_spacing_xy=(2.5, 2.5),
+        disable_bias=True, fast=fast)
+    transforms = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
+    sid = jnp.asarray(sidx, jnp.int32)
+    geom, sume = svr_core.build_geometry(
+        ctx, jnp.asarray(ra.w2i(), jnp.float32), transforms,
+        jnp.asarray(batch.i2w, jnp.float32), jnp.asarray(batch.dims),
+        s["valid"], s["mask_flat"], stack_id=sid)
+
+    slices = jnp.asarray(batch.data)
+    em = svr_core.init_em_state(n, s["valid"])
+    excluded = jnp.zeros((n,), bool)
+    pos = batch.data[batch.data > 0]
+    mx, mn = float(pos.max()), float(pos.min())
+    alpha, lam = smoothing_parameters(150.0, 0.02)
+
+    # single-device fast path
+    recon0, wts0, vc0 = svr_core.gaussian_reconstruction(
+        ctx, geom, sume, slices, s["valid"], em.bias, em.scale,
+        s["mask_flat"])
+    sim0 = svr_core.simulate(ctx, geom, sume, recon0, s["mask_flat"])
+    em0 = svr_core.initialize_robust_statistics(
+        ctx, slices, s["valid"], sim0, em, mx, mn, excluded)
+    em0, _ = svr_core.estep(ctx, slices, s["valid"], sume, sim0, em0,
+                            excluded)
+    # inner_iteration donates em/sim/recon -> pass copies, keep originals
+    em1, sim1, recon1 = svr_core.inner_iteration(
+        ctx, geom, sume, slices, s["valid"],
+        jax.tree.map(jnp.copy, em0), jax.tree.map(jnp.copy, sim0),
+        jnp.copy(recon0), wts0,
+        jnp.asarray(s["mask"]), s["mask_flat"], excluded,
+        jnp.float32(alpha), jnp.float32(lam), jnp.float32(mn),
+        jnp.float32(mx), jnp.int32(1))
+
+    # sharded fast path (geometry rebuilt under the mesh too)
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    g_geom = sharded.sharded_build_geometry(ctx, mesh)
+    geom_s, sume_s = g_geom(jnp.asarray(ra.w2i(), jnp.float32), transforms,
+                            jnp.asarray(batch.i2w, jnp.float32),
+                            jnp.asarray(batch.dims, jnp.float32),
+                            s["valid"], s["mask_flat"], sid)
+    assert np.allclose(np.asarray(sume_s), np.asarray(sume), atol=1e-4)
+
+    g_fn = sharded.sharded_gaussian_reconstruction(ctx, mesh)
+    recon0_s, wts0_s, vc0_s = g_fn(slices, s["valid"], geom_s, sume_s,
+                                   em.bias, em.scale, s["mask_flat"])
+    assert np.allclose(np.asarray(recon0_s), np.asarray(recon0), atol=1e-3)
+    assert np.allclose(np.asarray(wts0_s), np.asarray(wts0), atol=1e-3)
+    assert np.array_equal(np.asarray(vc0_s), np.asarray(vc0))
+
+    sim_fn = sharded.sharded_simulate(ctx, mesh)
+    sim0_s = sim_fn(geom_s, sume_s, recon0_s, s["mask_flat"])
+    assert np.allclose(np.asarray(sim0_s.sim), np.asarray(sim0.sim),
+                       atol=1e-3)
+
+    rs_fn = sharded.sharded_initialize_robust_statistics(ctx, mesh)
+    em0_s = rs_fn(slices, s["valid"], sim0_s, em, jnp.float32(mx),
+                  jnp.float32(mn), excluded)
+    assert np.allclose(float(em0_s.sigma2), float(em0.sigma2), rtol=1e-4)
+
+    e_fn = sharded.sharded_estep(ctx, mesh)
+    em0_s, _ = e_fn(slices, s["valid"], sume_s, sim0_s, em0_s, excluded)
+    assert np.allclose(np.asarray(em0_s.weights), np.asarray(em0.weights),
+                       atol=1e-4)
+
+    step_fn = sharded.sharded_inner_iteration(ctx, mesh)
+    em1_s, sim1_s, recon1_s = step_fn(
+        geom_s, sume_s, slices, s["valid"], em0_s, sim0_s, recon0_s,
+        wts0_s, jnp.asarray(s["mask"]), s["mask_flat"], excluded,
+        jnp.float32(alpha), jnp.float32(lam), jnp.float32(mn),
+        jnp.float32(mx), jnp.int32(1))
+    assert np.allclose(np.asarray(recon1_s), np.asarray(recon1),
+                       atol=2e-2), \
+        float(np.abs(np.asarray(recon1_s) - np.asarray(recon1)).max())
+    assert np.allclose(np.asarray(em1_s.slice_weight),
+                       np.asarray(em1.slice_weight), atol=1e-3)
+    assert np.allclose(float(em1_s.sigma2), float(em1.sigma2), rtol=1e-3)
+
+
+def pf_support(batch, ra):
+    from fetalreconstruction_tpu.ops import psf as psf_ops
+    return psf_ops.reference_support(batch.dims, ra.dx, 1.0, 10)
+
+
 @pytest.mark.slow
 def test_pipeline_mesh_mode_matches_single_device():
     """run_svr(mesh=...) (GSPMD data placement) must reproduce the

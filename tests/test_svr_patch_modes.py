@@ -13,6 +13,9 @@ from fetalreconstruction_tpu.pipeline.svr import run_svr
 
 from phantom import make_ground_truth, simulate_stacks
 
+# run_svr-driven end-to-end modes: heavy on CPU -> explicit `-m slow`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def data():

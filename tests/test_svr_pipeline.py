@@ -18,6 +18,10 @@ from fetalreconstruction_tpu.ops.sampling import resample_to_grid
 
 from phantom import make_ground_truth, simulate_stacks, psnr
 
+# full-pipeline goldens: heavy on the CPU mesh -> explicit `-m slow` runs
+# (the fast acceptance path is tests/test_s2v_required.py)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def data():

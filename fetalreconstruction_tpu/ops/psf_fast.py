@@ -56,12 +56,16 @@ class FastGeom(NamedTuple):
            (make_shingle) of conv(mask) — mask is constant per run, so
            these tables are cached at geometry build and reused by every
            simulate call; row r of stack s lives at s*R + r
+    plan:  optional pallas_scatter.ScatterPlan — the sorted-stream
+           schedule for the Pallas TPU scatter kernel (None = XLA
+           scatter).  Rebuilt with the geometry; all-array pytree.
     """
     xp: jax.Array
     valid: jax.Array
     sume: jax.Array
     sid: jax.Array
     cmask: jax.Array
+    plan: object = None
 
 
 def stack_kernel(a3: np.ndarray, slice_dim: np.ndarray,
@@ -347,9 +351,14 @@ class FastPSF:
 
     def __init__(self, stack_a3: np.ndarray, stack_dims: np.ndarray,
                  stack_slice_ranges: Sequence[Tuple[int, int]],
-                 support: int, tol: float = 1e-3):
+                 support: int, tol: float = 1e-3, pallas=None):
         self.support = support
         self.ranges = list(stack_slice_ranges)
+        # Pallas TPU scatter kernel: default on accelerators, off on CPU
+        # (the interpreter is correct but slow; tests opt in explicitly)
+        if pallas is None:
+            pallas = jax.default_backend() != "cpu"
+        self.pallas = bool(pallas)
         self.terms = []
         for a3, dims in zip(stack_a3, stack_dims):
             k = stack_kernel(np.asarray(a3, np.float64),
@@ -413,7 +422,13 @@ def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape, mask=None,
         [make_shingle([conv_separable(mask, t)]) for t in fast.terms])
     (sume,) = shingle_gather(ones_tab, xp, vol_shape, 1, sid=sid)
     sume = jnp.where(valid & (sume > 0.5), sume, 0.0)
-    return FastGeom(xp=xp, valid=valid, sume=sume, sid=sid, cmask=cmask)
+    plan = None
+    if getattr(fast, "pallas", False):
+        from .pallas_scatter import build_scatter_plan
+        plan = build_scatter_plan.__wrapped__(
+            xp, sid, tuple(vol_shape), len(fast.terms))
+    return FastGeom(xp=xp, valid=valid, sume=sume, sid=sid, cmask=cmask,
+                    plan=plan)
 
 
 def fast_simulate(fast: FastPSF, geom: FastGeom, vol, mask, vol_shape):
@@ -451,8 +466,13 @@ def fast_scatter2(fast: FastPSF, geom: FastGeom, pay_a, pay_b, mask,
     a = pay_a * inv
     b = pay_b * inv
     S = len(fast.terms)
-    blocked = _splat2_blocked(geom.xp, a, b, vol_shape, sid=geom.sid,
-                              n_stacks=S)
+    if geom.plan is not None:
+        from .pallas_scatter import pallas_splat2_blocked
+        blocked = pallas_splat2_blocked(geom.plan, a, b, tuple(vol_shape),
+                                        S)
+    else:
+        blocked = _splat2_blocked(geom.xp, a, b, vol_shape, sid=geom.sid,
+                                  n_stacks=S)
     out = jnp.zeros((2,) + tuple(vol_shape), jnp.float32)
     for s, terms in enumerate(fast.terms):
         sa, sb = _unblock2(blocked[s], vol_shape)

@@ -71,8 +71,14 @@ def shard_batch(mesh: Mesh, *arrays):
 def geom_spec(ctx: svr_core.SVRContext):
     """PartitionSpec pytree for the engine's geometry structure."""
     if ctx.fast is not None:
+        plan_spec = None
+        if getattr(ctx.fast, "pallas", False):
+            # per-shard scatter plans: every array is local to its shard's
+            # slice range, so the (padded) leading axis shards
+            from ..ops.pallas_scatter import ScatterPlan
+            plan_spec = ScatterPlan(*([P(AXIS)] * 6))
         return psf_fast.FastGeom(xp=P(AXIS), valid=P(AXIS), sume=P(AXIS),
-                                 sid=P(AXIS), cmask=P())
+                                 sid=P(AXIS), cmask=P(), plan=plan_spec)
     return psf_ops.SliceGeom(centre=P(AXIS), frac=P(AXIS), a3=P(AXIS),
                              slice_dim=P(AXIS), valid=P(AXIS))
 

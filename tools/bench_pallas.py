@@ -1,0 +1,83 @@
+"""TPU benchmark + equality check: Pallas scatter vs XLA scatter at the
+canonical bench shape."""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+
+from bench import build_problem
+from fetalreconstruction_tpu.ops import pallas_scatter as ps
+from fetalreconstruction_tpu.ops import psf_fast as pf
+
+
+def t(name, fn, *args, reps=3):
+    s = float(jnp.asarray(jax.tree.leaves(fn(*args))[0]).ravel()[0])
+    best = 1e9
+    for r in range(reps):
+        t0 = time.perf_counter()
+        s = float(jnp.asarray(jax.tree.leaves(fn(*args))[0]).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:44s} {best * 1e3:9.1f} ms")
+
+
+def main():
+    ctx, p = build_problem()
+    geom = p["geom"]
+    fast = ctx.fast
+    vol_shape = tuple(ctx.vol_shape)
+    S = len(fast.terms)
+    rng = np.random.default_rng(1)
+    pay_a = jnp.asarray(rng.uniform(0, 1, p["slices"].shape), jnp.float32)
+    pay_b = jnp.ones_like(pay_a)
+
+    print("building plan...")
+    t0 = time.perf_counter()
+    plan = ps.build_scatter_plan(geom.xp, geom.sid, vol_shape, S)
+    jax.block_until_ready(plan.blk)
+    _ = int(np.asarray(plan.cnt).sum())
+    print(f"plan build: {(time.perf_counter() - t0) * 1e3:.0f} ms "
+          f"(includes compile); chunks {plan.blk.shape[0]}")
+
+    t("plan rebuild (compile cached)",
+      lambda: ps.build_scatter_plan(geom.xp, geom.sid, vol_shape, S))
+
+    def xla_fn(xp, sid, a, b):
+        return pf._splat2_blocked(xp, a, b, vol_shape, sid=sid,
+                                  n_stacks=S)
+
+    def pls_fn(plan, a, b):
+        return ps.pallas_splat2_blocked(plan, a, b, vol_shape, S)
+
+    xj0 = jax.jit(xla_fn)
+    pj0 = jax.jit(pls_fn)
+    xj = lambda a, b: xj0(geom.xp, geom.sid, a, b)
+    pj = lambda a, b: pj0(plan, a, b)
+    ref = xj(pay_a, pay_b)
+    out = pj(pay_a, pay_b)
+    d = float(jnp.abs(out - ref).max())
+    sc = float(jnp.abs(ref).max())
+    print(f"max diff vs XLA: {d:.3e} (scale {sc:.3e})")
+
+    t("XLA _splat2_blocked", xj, pay_a, pay_b)
+    t("Pallas splat2_blocked", pj, pay_a, pay_b)
+
+    # full fast_scatter2 path with Pallas core
+    def fs2_pallas(plan, a, b):
+        blocked = ps.pallas_splat2_blocked(plan, a, b, vol_shape, S)
+        out = jnp.zeros((2,) + vol_shape, jnp.float32)
+        for s, terms in enumerate(fast.terms):
+            sa, sb = pf._unblock2(blocked[s], vol_shape)
+            out = out.at[0].add(pf.conv_separable(sa, terms, flip=True))
+            out = out.at[1].add(pf.conv_separable(sb, terms, flip=True))
+        return out
+
+    t("fast_scatter2 w/ pallas core", jax.jit(fs2_pallas), plan, pay_a,
+      pay_b)
+
+
+if __name__ == "__main__":
+    main()

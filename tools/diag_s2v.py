@@ -68,7 +68,7 @@ base = dict(resolution=1.6, rec_iterations_first=3, rec_iterations_last=4,
 hist = []
 
 
-def hook(it, img):
+def hook(it, img, transforms=None):
     hist.append((it, _psnr_vs_gt(img)))
     print(f"iter {it}: PSNR {hist[-1][1]:.2f} dB")
 

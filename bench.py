@@ -81,12 +81,16 @@ def build_problem(n_stacks=4, stack_slices=42, hw=144, vol=160,
 
 def main():
     import jax
-    # persistent compile cache (opt-in): repeated driver runs skip the
-    # slow (remote) XLA compiles
-    if os.environ.get("JAX_CACHE_DIR"):
+    # persistent compile cache (default ON): compiles go through the
+    # remote tunnel at ~1 min/program, so a cold run takes several
+    # minutes; with the cache warmed, repeated driver runs start in
+    # seconds.  JAX_CACHE_DIR overrides the location; JAX_CACHE_DIR=""
+    # disables.
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               "/root/repo/.jax_compile_cache")
+    if cache_dir:
         try:
-            jax.config.update("jax_compilation_cache_dir",
-                              os.environ["JAX_CACHE_DIR"])
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               1.0)
         except Exception:

@@ -2,7 +2,7 @@
 
 Replaces the XLA width-16 row scatter of `psf_fast._splat2_blocked`
 (measured 422 ms for 3.5 M rows on v5e — XLA scatter serializes ~120 ns
-per update row) with a sorted-stream accumulate kernel (~11 ns/row):
+per update row) with a sorted-stream accumulate kernel:
 
 - at GEOMETRY BUILD time (once per outer iteration) the pixel -> parity
   accumulator row ids are computed, argsorted, and chopped into fixed
@@ -17,10 +17,23 @@ per update row) with a sorted-stream accumulate kernel (~11 ns/row):
   deterministic, atomics-free TPU analog of the reference's atomicAdd
   scatter, reconstruction_cuda2.cu:262-295).
 
-The kernel reproduces `_splat2_blocked`'s accumulator EXACTLY (same row
-ids, same adds), so `_unblock2` + the per-stack adjoint convolutions
-consume it unchanged; equality is asserted against the XLA path in
-tests/test_pallas_scatter.py.
+LAYOUT RULE (the round-2 OOM lesson): every large HBM buffer must have a
+minor dimension of 128 (or be 1-D).  TPU HBM arrays are tiled (8, 128);
+a (rows, 16) f32 array is lane-padded 8x — at canonical size the
+accumulator alone ballooned to 8.1 GB and OOM'd the 16 GB chip.  Hence:
+
+- per-row updates travel as PACKED (L/8, 128) rows: 8 consecutive
+  16-wide updates per row, unpacked in-kernel with STATIC lane slices;
+- the trilinear corner weights are cached TRANSPOSED (8, L);
+- the accumulator leaves the kernel PACKED (NBLK, BR/8, 128): in-block
+  row r lives at sublane r % 1024, lanes (r // 1024)*16 +: 16, so the
+  end-of-block flush is eight static (1024, 16) copies; the cheap XLA
+  reshape/transpose back to logical (rows, 16) fuses into the consumer.
+
+The kernel reproduces `_splat2_blocked`'s accumulator (same row ids,
+same adds, sorted order), so `_unblock2` + the per-stack adjoint
+convolutions consume it unchanged; equality is asserted against the XLA
+path in tests/test_pallas_scatter.py.
 """
 from __future__ import annotations
 
@@ -32,19 +45,25 @@ import jax.numpy as jnp
 import numpy as np
 
 CHUNK = 2048        # pixel rows per grid step
-BR = 8192          # accumulator rows per VMEM block (block+double-buffers fit 16MB VMEM)
+BR = 8192           # accumulator rows per VMEM block
+BRQ = BR // 8       # sublanes of a packed accumulator block
 
 
 class ScatterPlan(NamedTuple):
     """Geometry-cached scatter schedule (all shapes static given the
     padded pixel count and accumulator size).
 
-    pperm: (L,) i32  pixel index feeding padded slot l (L = NCHUNK*CHUNK)
-    loc:   (L,) i32  row offset within the slot's accumulator block
-    wts:   (L, 8) f32  trilinear corner weights, pre-permuted
-    blk:   (C,) i32  accumulator block id per chunk (non-decreasing)
-    first: (C,) i32  1 = first chunk of its block (zero the block)
-    cnt:   (C,) i32  valid rows in the chunk
+    pperm: (L,) i32   pixel index feeding padded slot l (L = NCHUNK*CHUNK)
+    loc:   (L,) i32   row offset within the slot's accumulator block
+    wtsT:  (8, L) f32 trilinear corner weights, pre-permuted and
+           TRANSPOSED (a (L, 8) array would be lane-padded 16x in HBM);
+           zero at pad slots and out-of-support pixels
+    blk:   (C,) i32   accumulator block id per chunk (non-decreasing)
+    first: (C,) i32   1 = first chunk of its block (zero the block)
+    last:  (C,) i32   1 = last chunk of its block (flush to HBM)
+    cnt8:  (C,) i32   ceil(valid rows / 8) in the chunk — loop bound over
+           packed update rows; slots past the valid count carry zero
+           weights so the 8-wide unroll adds exact zeros
 
     (accumulator row/block counts are pure functions of vol_shape and
     n_stacks — recomputed statically where needed so the plan stays an
@@ -52,10 +71,11 @@ class ScatterPlan(NamedTuple):
     """
     pperm: jax.Array
     loc: jax.Array
-    wts: jax.Array
+    wtsT: jax.Array
     blk: jax.Array
     first: jax.Array
-    cnt: jax.Array
+    last: jax.Array
+    cnt8: jax.Array
 
 
 def _row_ids(xp, sid, vol_shape, n_stacks):
@@ -77,6 +97,9 @@ def _row_ids(xp, sid, vol_shape, n_stacks):
         row = row + sid.astype(jnp.int32).reshape(
             sid.shape + (1,) * nd) * (8 * Bz * By * Bx)
     nrows = n_stacks * 8 * Bz * By * Bx
+    # out-of-support pixels target the sacrificial row `nrows` (sorted
+    # last, sliced off after the kernel — mirrors the XLA path's dropped
+    # row -1)
     row = jnp.where(inb, row, nrows).reshape(-1)
     return row, wts.reshape(-1, 8), nrows
 
@@ -129,43 +152,72 @@ def build_scatter_plan(xp, sid, vol_shape, n_stacks) -> ScatterPlan:
         - first_of_blk[blk_of_chunk]
     first = jnp.where(pad_chunk, 0,
                       (idx_in_blk == 0).astype(jnp.int32))
+    # flush when the NEXT chunk belongs to a different block (pad chunks
+    # extend the last block, so only the very final chunk flushes it)
+    blk_next = jnp.concatenate(
+        [blk_of_chunk[1:], jnp.full((1,), -1, jnp.int32)])
+    last = (blk_of_chunk != blk_next).astype(jnp.int32)
     start = s_blk[blk_of_chunk] + idx_in_blk * CHUNK
     cnt = jnp.where(pad_chunk, 0,
                     jnp.clip(e_blk[blk_of_chunk] - start, 0, CHUNK))
+    cnt8 = (cnt + 7) // 8
 
     # padded slot -> sorted index
     slot_chunk = jnp.arange(L, dtype=jnp.int32) // CHUNK
     slot_off = jnp.arange(L, dtype=jnp.int32) % CHUNK
+    slot_valid = slot_off < cnt[slot_chunk]
     sidx = jnp.clip(start[slot_chunk] + slot_off, 0, n - 1)
     loc = rows_sorted[sidx] - blk_of_chunk[slot_chunk] * BR
     loc = jnp.clip(loc, 0, BR - 1)
     pperm = perm[sidx]
-    wts_pad = wts[pperm]
+    # (L, 8) gather fused into the (8, L) transpose output — pad slots
+    # zeroed so the kernel's 8-wide unroll is add-of-zero past `cnt`
+    wtsT = jnp.where(slot_valid[None, :], wts[pperm].T, 0.0)
     return ScatterPlan(pperm=pperm.astype(jnp.int32),
-                       loc=loc.astype(jnp.int32), wts=wts_pad,
+                       loc=loc.astype(jnp.int32), wtsT=wtsT,
                        blk=blk_of_chunk.astype(jnp.int32),
                        first=first.astype(jnp.int32),
-                       cnt=cnt.astype(jnp.int32))
+                       last=last.astype(jnp.int32),
+                       cnt8=cnt8.astype(jnp.int32))
 
 
 def _make_kernel():
     from jax.experimental import pallas as pl
 
-    def kernel(blk_ref, first_ref, cnt_ref, loc_ref, upd_ref, out_ref):
+    def kernel(blk_ref, first_ref, last_ref, cnt8_ref, loc_ref, upd_ref,
+               out_ref, acc_ref):
         c = pl.program_id(0)
 
         @pl.when(first_ref[c] == 1)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        def body(k, _):
-            r = loc_ref[k]
-            out_ref[pl.ds(r, 1), :] += upd_ref[pl.ds(k, 1), :]
+        def body(k8, _):
+            row = upd_ref[pl.ds(k8, 1), :]          # (1, 128) = 8 updates
+            for j in range(8):                       # static unroll
+                u = row[:, 16 * j:16 * (j + 1)]      # (1, 16) static lanes
+                r = loc_ref[8 * k8 + j]
+                acc_ref[pl.ds(r, 1), :] += u
             return 0
 
-        jax.lax.fori_loop(0, cnt_ref[c], body, 0)
+        jax.lax.fori_loop(0, cnt8_ref[c], body, 0)
+
+        @pl.when(last_ref[c] == 1)
+        def _():
+            # pack (BR, 16) -> (BRQ, 128): in-block row r = lam*BRQ + q
+            # lands at sublane q, lanes lam*16 +: 16 — all slices static
+            for lam in range(8):
+                out_ref[0, :, 16 * lam:16 * (lam + 1)] = \
+                    acc_ref[BRQ * lam:BRQ * (lam + 1), :]
 
     return kernel
+
+
+def _unpack_acc(packed, nrows):
+    """(NBLK, BRQ, 128) packed accumulator -> (nrows, 16) logical rows."""
+    nblk = packed.shape[0]
+    acc = packed.reshape(nblk, BRQ, 8, 16).transpose(0, 2, 1, 3)
+    return acc.reshape(nblk * BR, 16)[:nrows]
 
 
 def pallas_splat2_blocked(plan: ScatterPlan, pay_a, pay_b, vol_shape,
@@ -185,29 +237,35 @@ def pallas_splat2_blocked(plan: ScatterPlan, pay_a, pay_b, vol_shape,
     nrows = acc_rows(vol_shape, n_stacks)
     nblk = plan_sizes(1, nrows)[2]
     nchunk = plan.blk.shape[0]
+    L = nchunk * CHUNK
 
-    pays = jnp.stack([pay_a.reshape(-1), pay_b.reshape(-1)], axis=-1)
-    pays = jnp.take(pays, plan.pperm, axis=0)            # (L, 2)
-    upd = (plan.wts[:, :, None] * pays[:, None, :]).reshape(-1, 16)
+    pa = jnp.take(pay_a.reshape(-1), plan.pperm, axis=0)     # (L,)
+    pb = jnp.take(pay_b.reshape(-1), plan.pperm, axis=0)
+    # flat update order k*16 + corner*2 + payload, packed 8 rows per
+    # 128-lane line (the (L, 8, 2) intermediate fuses into the reshape)
+    u = plan.wtsT[:, None, :] * jnp.stack([pa, pb])[None, :, :]
+    upd = u.transpose(2, 0, 1).reshape(L // 8, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nchunk,),
         in_specs=[
-            pl.BlockSpec((CHUNK,), lambda c, b, f, n: (c,),
+            pl.BlockSpec((CHUNK,), lambda c, b, f, la, n: (c,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((CHUNK, 16), lambda c, b, f, n: (c, 0),
+            pl.BlockSpec((CHUNK // 8, 128), lambda c, b, f, la, n: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BR, 16), lambda c, b, f, n: (b[c], 0),
+        out_specs=pl.BlockSpec((1, BRQ, 128),
+                               lambda c, b, f, la, n: (b[c], 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BR, 16), jnp.float32)],
     )
     interpret = jax.default_backend() == "cpu"
-    acc = pl.pallas_call(
+    packed = pl.pallas_call(
         _make_kernel(),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nblk * BR, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblk, BRQ, 128), jnp.float32),
         interpret=interpret,
-    )(plan.blk, plan.first, plan.cnt, plan.loc, upd)
-    acc = acc[:nrows]
+    )(plan.blk, plan.first, plan.last, plan.cnt8, plan.loc, upd)
+    acc = _unpack_acc(packed, nrows)
     return acc.reshape(n_stacks, 8, Bz, By, Bx, 2, 2, 2, 2)

@@ -32,6 +32,7 @@ in a single stacked-f32 scatter.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, NamedTuple, Sequence, Tuple
 
@@ -354,10 +355,14 @@ class FastPSF:
                  support: int, tol: float = 1e-3, pallas=None):
         self.support = support
         self.ranges = list(stack_slice_ranges)
-        # Pallas TPU scatter kernel: default on accelerators, off on CPU
-        # (the interpreter is correct but slow; tests opt in explicitly)
+        # Pallas TPU scatter kernel: OPT-IN (FETALRECON_PALLAS=1).  The
+        # first-cut kernel's (rows, 16) buffers are lane-padded 8x by the
+        # TPU (8,128) tiling (~8 GB at canonical size -> HBM OOM on a
+        # 16 GB chip); until the padding-free layout lands the XLA scatter
+        # stays the default production path.
         if pallas is None:
-            pallas = jax.default_backend() != "cpu"
+            pallas = (os.environ.get("FETALRECON_PALLAS", "0") == "1"
+                      and jax.default_backend() != "cpu")
         self.pallas = bool(pallas)
         self.terms = []
         for a3, dims in zip(stack_a3, stack_dims):

@@ -74,9 +74,13 @@ def geom_spec(ctx: svr_core.SVRContext):
         plan_spec = None
         if getattr(ctx.fast, "pallas", False):
             # per-shard scatter plans: every array is local to its shard's
-            # slice range, so the (padded) leading axis shards
+            # slice range, so the (padded) slot axis shards — axis 0 for
+            # the 1-D schedules, axis 1 for the transposed (8, L) weights
             from ..ops.pallas_scatter import ScatterPlan
-            plan_spec = ScatterPlan(*([P(AXIS)] * 6))
+            plan_spec = ScatterPlan(pperm=P(AXIS), loc=P(AXIS),
+                                    wtsT=P(None, AXIS), blk=P(AXIS),
+                                    first=P(AXIS), last=P(AXIS),
+                                    cnt8=P(AXIS))
         return psf_fast.FastGeom(xp=P(AXIS), valid=P(AXIS), sume=P(AXIS),
                                  sid=P(AXIS), cmask=P(), plan=plan_spec)
     return psf_ops.SliceGeom(centre=P(AXIS), frac=P(AXIS), a3=P(AXIS),

@@ -17,6 +17,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compile cache: the heavy pipeline programs take 30-60 s
+# EACH to compile on CPU (the "Very slow compile" alarm) — cached, a full
+# suite re-run drops from ~16 min to a few minutes.  JAX_CACHE_DIR=""
+# disables.
+_cache = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_compile_cache")
+if _cache:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def pytest_report_header(config):

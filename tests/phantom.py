@@ -37,11 +37,28 @@ def make_ground_truth(n=36, spacing=1.5, seed=7):
 
 
 def make_stack_attr(gt: Image, rot_deg, in_plane=2.0, dz=3.0):
-    """Stack grid covering the GT extent, with its own spacing."""
+    """Stack grid covering the GT extent, with its own spacing.
+
+    rot_deg: acquisition orientation as Euler degrees (rx, ry, rz) — the
+    grid AXES are rotated (an oblique/orthogonal acquisition), centred on
+    the GT.  Orthogonal stacks make through-plane motion of one stack
+    observable in-plane by another — the reason the reference's example
+    data ships multiple differently-oriented stacks.
+    """
+    rot = list(rot_deg) if rot_deg is not None else [0.0, 0.0, 0.0]
+    if len(rot) == 6:
+        rot = rot[3:]
+    R = rigid_matrix([0.0, 0.0, 0.0] + list(rot))[:3, :3]
     ext = np.array([gt.attr.x * gt.attr.dx, gt.attr.y * gt.attr.dy,
                     gt.attr.z * gt.attr.dz])
-    a = ImageAttributes(x=int(ext[0] / in_plane), y=int(ext[1] / in_plane),
-                        z=int(ext[2] / dz), dx=in_plane, dy=in_plane, dz=dz)
+    # coverage needed along each rotated axis
+    need = np.abs(R).T @ ext
+    a = ImageAttributes(x=int(need[0] / in_plane),
+                        y=int(need[1] / in_plane),
+                        z=int(need[2] / dz), dx=in_plane, dy=in_plane,
+                        dz=dz,
+                        xaxis=tuple(R[:, 0]), yaxis=tuple(R[:, 1]),
+                        zaxis=tuple(R[:, 2]))
     a.xorigin, a.yorigin, a.zorigin = (gt.attr.xorigin, gt.attr.yorigin,
                                        gt.attr.zorigin)
     return a
@@ -49,7 +66,7 @@ def make_stack_attr(gt: Image, rot_deg, in_plane=2.0, dz=3.0):
 
 def simulate_stacks(gt: Image, n_stacks=2, thickness=None, in_plane=2.0,
                     dz=3.0, motions=None, noise=0.0, seed=0,
-                    slice_motions=None):
+                    slice_motions=None, orientations=None):
     """Forward-simulate thick-slice stacks from GT through the PSF model.
 
     motions: list of per-stack 6-param rigid motions (slice transform).
@@ -57,13 +74,18 @@ def simulate_stacks(gt: Image, n_stacks=2, thickness=None, in_plane=2.0,
     rigid jitter — composed on top of the stack motion, so the simulated
     stack has genuine inter-slice motion that only slice-to-volume
     registration can undo.
+    orientations: optional list of per-stack acquisition orientations
+    (Euler degrees, see make_stack_attr) — orthogonal stacks are what
+    makes through-plane motion recoverable, as in the reference's
+    multi-orientation example data.
     Returns (stacks, true_transforms_per_stack).
     """
     rng = np.random.default_rng(seed)
     stacks, transforms = [], []
     for s in range(n_stacks):
         rot = [0, 0, 0, 0, 0, 0] if motions is None else motions[s]
-        attr = make_stack_attr(gt, rot, in_plane, dz)
+        ori = None if orientations is None else orientations[s]
+        attr = make_stack_attr(gt, ori, in_plane, dz)
         t = rigid_matrix(rot)
         th = thickness or 2 * dz
         stack_img = Image(np.zeros(attr.shape_zyx, np.float32), attr)

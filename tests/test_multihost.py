@@ -68,6 +68,9 @@ def test_two_process_distributed_psum(tmp_path):
     script.write_text(WORKER)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # the worker script lives in tmp_path; make the repo importable
+    env["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     procs = [subprocess.Popen([sys.executable, str(script), str(pid)],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True,

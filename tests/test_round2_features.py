@@ -23,7 +23,7 @@ def test_bias_correct_volume_removes_low_freq_field():
     mask = (original > 0).astype(np.float32)
     out = np.asarray(bias_correct_volume(
         jnp.asarray(recon, jnp.float32), jnp.asarray(original, jnp.float32),
-        jnp.asarray(mask), 0.0, 500.0, 0.01, 12.0, (2.0, 2.0, 2.0)))
+        jnp.asarray(mask), 0.0, 500.0, 0.01, 8.0, (2.0, 2.0, 2.0)))
     m = mask > 0
     err_before = np.abs(recon - original)[m].mean()
     err_after = np.abs(out - original)[m].mean()
@@ -42,7 +42,7 @@ def test_low_intensity_cutoff_gates_correction():
     mask = np.ones_like(original)
     out = np.asarray(bias_correct_volume(
         jnp.asarray(recon), jnp.asarray(original), jnp.asarray(mask),
-        0.0, 1000.0, 0.01, 12.0, (2.0, 2.0, 2.0)))
+        0.0, 1000.0, 0.01, 6.0, (2.0, 2.0, 2.0)))
     # everything below cutoff*max -> residual 0 -> field 1 -> clamped copy
     np.testing.assert_allclose(out, recon, rtol=1e-5)
 

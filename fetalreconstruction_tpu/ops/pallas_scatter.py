@@ -22,9 +22,16 @@ minor dimension of 128 (or be 1-D).  TPU HBM arrays are tiled (8, 128);
 a (rows, 16) f32 array is lane-padded 8x — at canonical size the
 accumulator alone ballooned to 8.1 GB and OOM'd the 16 GB chip.  Hence:
 
-- per-row updates travel as PACKED (L/8, 128) rows: 8 consecutive
-  16-wide updates per row, unpacked in-kernel with STATIC lane slices;
+- per-slot updates travel UPDATE-MAJOR as (16, L): minor dim L, zero
+  tiling padding (a (L, 16) stream would pad 8x, and interleaving to a
+  packed (L/8, 128) form in XLA materializes a (L, 8, 2) intermediate
+  padded to ~32 GB — the round-3 compile-OOM); each (16, CHUNK) block is
+  transposed once in VMEM and consumed row-per-slot;
 - the trilinear corner weights are cached TRANSPOSED (8, L);
+- pad slots past a chunk's valid count carry ZERO weights, so the 8-wide
+  unroll adds exact zeros — payloads must be pre-gated finite/zero at
+  invalid pixels (fast_scatter2 guarantees this), else a pad slot could
+  propagate NaN into the clipped row it aliases;
 - the accumulator leaves the kernel PACKED (NBLK, BR/8, 128): in-block
   row r lives at sublane r % 1024, lanes (r // 1024)*16 +: 16, so the
   end-of-block flush is eight static (1024, 16) copies; the cheap XLA
@@ -185,19 +192,26 @@ def _make_kernel():
     from jax.experimental import pallas as pl
 
     def kernel(blk_ref, first_ref, last_ref, cnt8_ref, loc_ref, upd_ref,
-               out_ref, acc_ref):
+               out_ref, acc_ref, u_ref):
         c = pl.program_id(0)
 
         @pl.when(first_ref[c] == 1)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
+        # one sublane/lane transpose per chunk: the update stream arrives
+        # UPDATE-MAJOR (16, CHUNK) — a padding-free HBM layout (a direct
+        # (CHUNK, 16) stream would lane-pad 8x, and building the packed
+        # (CHUNK/8, 128) interleave in XLA materializes a ~4x-padded
+        # (L, 8, 2) intermediate that OOMs at canonical size: round-3
+        # hardware finding) — and is flipped here to row-per-slot form
+        u_ref[:] = upd_ref[:].T                     # (CHUNK, 16)
+
         def body(k8, _):
-            row = upd_ref[pl.ds(k8, 1), :]          # (1, 128) = 8 updates
             for j in range(8):                       # static unroll
-                u = row[:, 16 * j:16 * (j + 1)]      # (1, 16) static lanes
-                r = loc_ref[8 * k8 + j]
-                acc_ref[pl.ds(r, 1), :] += u
+                s = 8 * k8 + j
+                r = loc_ref[s]
+                acc_ref[pl.ds(r, 1), :] += u_ref[pl.ds(s, 1), :]
             return 0
 
         jax.lax.fori_loop(0, cnt8_ref[c], body, 0)
@@ -220,6 +234,56 @@ def _unpack_acc(packed, nrows):
     return acc.reshape(nblk * BR, 16)[:nrows]
 
 
+def pallas_splat2_packed(plan: ScatterPlan, pay_a, pay_b, vol_shape,
+                         n_stacks: int):
+    """Kernel core: gather payloads into plan order, build the
+    update-major stream and run the accumulate kernel.  Returns the
+    PACKED (NBLK, BRQ, 128) accumulator (see _unpack_acc for the row
+    layout) — callers that need the logical blocked form use
+    pallas_splat2_blocked."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrows = acc_rows(vol_shape, n_stacks)
+    nblk = plan_sizes(1, nrows)[2]
+    nchunk = plan.blk.shape[0]
+    L = nchunk * CHUNK
+
+    pa = jnp.take(pay_a.reshape(-1), plan.pperm, axis=0)     # (L,)
+    pb = jnp.take(pay_b.reshape(-1), plan.pperm, axis=0)
+    # UPDATE-MAJOR stream (16, L): row 2c+p = corner-c weight * payload p.
+    # Minor dim L keeps the HBM array padding-free (495 MB at canonical
+    # size); the kernel transposes each (16, CHUNK) block in VMEM.  (The
+    # former packed (L/8, 128) host-side interleave forced XLA to
+    # materialize a (L, 8, 2) intermediate whose (8, 128) tiling padded it
+    # to 31.7 GB -> compile-time OOM on the 16 GB chip.)
+    upd = jnp.stack([plan.wtsT[c] * (pb if p else pa)
+                     for c in range(8) for p in (0, 1)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nchunk,),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda c, b, f, la, n: (c,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, CHUNK), lambda c, b, f, la, n: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BRQ, 128),
+                               lambda c, b, f, la, n: (b[c], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BR, 16), jnp.float32),
+                        pltpu.VMEM((CHUNK, 16), jnp.float32)],
+    )
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        _make_kernel(),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblk, BRQ, 128), jnp.float32),
+        interpret=interpret,
+    )(plan.blk, plan.first, plan.last, plan.cnt8, plan.loc, upd)
+
+
 def pallas_splat2_blocked(plan: ScatterPlan, pay_a, pay_b, vol_shape,
                           n_stacks: int):
     """Drop-in replacement for psf_fast._splat2_blocked using the plan.
@@ -229,43 +293,9 @@ def pallas_splat2_blocked(plan: ScatterPlan, pay_a, pay_b, vol_shape,
     accumulator, numerically equal to the XLA path (same adds, sorted
     order).
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     zs, ys, xs = vol_shape
     Bz, By, Bx = (zs + 3) // 2, (ys + 3) // 2, (xs + 3) // 2
     nrows = acc_rows(vol_shape, n_stacks)
-    nblk = plan_sizes(1, nrows)[2]
-    nchunk = plan.blk.shape[0]
-    L = nchunk * CHUNK
-
-    pa = jnp.take(pay_a.reshape(-1), plan.pperm, axis=0)     # (L,)
-    pb = jnp.take(pay_b.reshape(-1), plan.pperm, axis=0)
-    # flat update order k*16 + corner*2 + payload, packed 8 rows per
-    # 128-lane line (the (L, 8, 2) intermediate fuses into the reshape)
-    u = plan.wtsT[:, None, :] * jnp.stack([pa, pb])[None, :, :]
-    upd = u.transpose(2, 0, 1).reshape(L // 8, 128)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nchunk,),
-        in_specs=[
-            pl.BlockSpec((CHUNK,), lambda c, b, f, la, n: (c,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((CHUNK // 8, 128), lambda c, b, f, la, n: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BRQ, 128),
-                               lambda c, b, f, la, n: (b[c], 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BR, 16), jnp.float32)],
-    )
-    interpret = jax.default_backend() == "cpu"
-    packed = pl.pallas_call(
-        _make_kernel(),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nblk, BRQ, 128), jnp.float32),
-        interpret=interpret,
-    )(plan.blk, plan.first, plan.last, plan.cnt8, plan.loc, upd)
+    packed = pallas_splat2_packed(plan, pay_a, pay_b, vol_shape, n_stacks)
     acc = _unpack_acc(packed, nrows)
     return acc.reshape(n_stacks, 8, Bz, By, Bx, 2, 2, 2, 2)

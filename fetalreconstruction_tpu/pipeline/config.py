@@ -70,5 +70,8 @@ class SVRConfig:
     # engine knobs (TPU-side, no reference analog)
     engine: str = "fast"          # "fast" (TPU conv+trilinear) | "exact"
     max_psf_support: int = 12
-    reg_levels: int = 2
+    # slice-to-volume registration pyramid: default = the reference's
+    # CPU GuessParameterSliceToVolume preset (3 levels, 20 iterations;
+    # see register/slice2vol.SliceRegConfig)
+    reg_levels: int = 3
     reg_iterations: int = 20

@@ -154,7 +154,7 @@ def _run_level(cfg: PVRConfig, stacks, mask, patch_size, patch_stride,
     if gt_img is not None or cfg.evaluation_masks:
         from ..evaluation import pvr_eval
 
-        def hook(it, recon_img):
+        def hook(it, recon_img, transforms=None):
             if gt_img is not None:
                 pvr_eval.evaluate_gt_3d(
                     it, recon_img, gt_img,

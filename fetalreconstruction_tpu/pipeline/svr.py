@@ -243,11 +243,15 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     initial reconstruction, and registration then runs already at
     iteration 0 (reconstruction.cc:254-258, 826).
 
-    mesh (optional jax.sharding.Mesh with a "slices" axis): shards the
-    slice batch over devices; XLA GSPMD partitions every jitted stage and
-    inserts the psum collectives (the explicitly-written shard_map path in
-    parallel/sharded.py is the validated equivalent).  The slice count is
-    padded to a mesh multiple with invalid slices."""
+    mesh (optional jax.sharding.Mesh with a "slices" axis): runs every
+    device stage — registration, geometry, gaussian reconstruction and the
+    fused EM/SR iteration — through the explicit shard_map program in
+    parallel/sharded.py (slices sharded, volume replicated, psum
+    collectives; the TPU-native form of the reference's multi-GPU
+    reduce-to-root + broadcast, reconstruction_cuda2.cu:2225-2239).  The
+    slice count is padded to a mesh multiple with invalid slices.  The
+    host-side package-to-volume hierarchy (CPU TBB in the reference) stays
+    replicated."""
     stats = PerfStats()
 
     # ----- load inputs ----------------------------------------------------
@@ -439,14 +443,19 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                  np.full((extra,) + batch.data.shape[1:], -1.0,
                          np.float32)])
             batch.i2w = np.concatenate(
-                [batch.i2w, np.tile(np.eye(4), (extra, 1, 1))])
+                [batch.i2w, np.tile(batch.i2w[-1:], (extra, 1, 1))])
             batch.dims = np.concatenate(
                 [batch.dims, np.tile(batch.dims[-1:], (extra, 1))])
             batch.stack_index = np.concatenate(
                 [batch.stack_index,
                  np.full((extra,), batch.stack_index[-1], np.int32)])
+            # geometry bookkeeping for the pad slices (all-invalid data):
+            # reuse the last real slice's attributes so registration
+            # preparation stays well-defined
+            batch.attrs = batch.attrs + [batch.attrs[-1].copy()
+                                         for _ in range(extra)]
             transforms = np.concatenate(
-                [transforms, np.tile(np.eye(4), (extra, 1, 1))])
+                [transforms, np.tile(transforms[-1:], (extra, 1, 1))])
             n = n_pad
         shard = NamedSharding(mesh, P("slices"))
         place = lambda a: jax.device_put(a, shard)
@@ -457,6 +466,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     valid = place(jnp.asarray(batch.data != -1.0))
     slice_i2w_j = place(jnp.asarray(batch.i2w, jnp.float32))
     dims_j = place(jnp.asarray(batch.dims))
+    stack_id_j = place(jnp.asarray(batch.stack_index, jnp.int32))
     recon_w2i_j = jnp.asarray(recon_attr.w2i(), jnp.float32)
     mask_j = jnp.asarray(recon_mask_img.data)
     mask_flat = mask_j.reshape(-1)
@@ -475,6 +485,58 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     reg_targets = None
     reg_cfg = s2v.SliceRegConfig(levels=cfg.reg_levels,
                                  iterations=cfg.reg_iterations)
+    do_bias = (cfg.intensity_matching
+               and not cfg.disable_bias_correction and cfg.sigma > 0)
+    do_nbias = do_bias and not cfg.global_bias_correction
+
+    # stage dispatch: with a mesh every device stage runs the explicit
+    # shard_map program (parallel/sharded.py) — the same program the
+    # multi-chip dryrun and the CPU-mesh equality tests validate;
+    # without one, the plain jitted svr_core graph
+    if mesh is not None:
+        from ..parallel import sharded
+        _geom_fn = sharded.sharded_build_geometry(ctx, mesh)
+        _gauss_fn = sharded.sharded_gaussian_reconstruction(ctx, mesh)
+        _sim_fn = sharded.sharded_simulate(ctx, mesh)
+        _irs_fn = sharded.sharded_initialize_robust_statistics(ctx, mesh)
+        _estep_fn = sharded.sharded_estep(ctx, mesh)
+        _inner_fn = sharded.sharded_inner_iteration(
+            ctx, mesh, do_bias=do_bias, do_scale=cfg.intensity_matching,
+            do_normalise_bias=do_nbias)
+        _reg_fn = sharded.sharded_register_slices(reg_cfg, mesh,
+                                                  recon_attr.dx)
+    else:
+        def _geom_fn(rw2i, t, i2w, dims, v, mf, sid):
+            return svr_core.build_geometry(ctx, rw2i, t, i2w, dims, v, mf,
+                                           stack_id=sid)
+
+        def _gauss_fn(s, v, geom, sume, b, sc, mf):
+            return svr_core.gaussian_reconstruction(ctx, geom, sume, s, v,
+                                                    b, sc, mf)
+
+        def _sim_fn(geom, sume, rec, mf):
+            return svr_core.simulate(ctx, geom, sume, rec, mf)
+
+        def _irs_fn(s, v, ss, em_, mx, mn, ex):
+            return svr_core.initialize_robust_statistics(ctx, s, v, ss,
+                                                         em_, mx, mn, ex)
+
+        def _estep_fn(s, v, sume, ss, em_, ex):
+            return svr_core.estep(ctx, s, v, sume, ss, em_, ex)
+
+        def _inner_fn(geom, sume, s, v, em_, ss, rec, vw, m, mf, ex, a,
+                      lm, mn, mx, it_):
+            return svr_core.inner_iteration(
+                ctx, geom, sume, s, v, em_, ss, rec, vw, m, mf, ex, a, lm,
+                mn, mx, it_, do_bias=do_bias,
+                do_scale=cfg.intensity_matching,
+                do_normalise_bias=do_nbias)
+
+        def _reg_fn(rec, rw2i, t, mo, ofs, tg):
+            return s2v.register_slices_to_volume(reg_cfg, rec, rw2i, t,
+                                                 mo, ofs, tg,
+                                                 recon_attr.dx)
+
     recon = jnp.zeros(recon_attr.shape_zyx, jnp.float32)
     if reference_volume is None and cfg.reference_volume:
         reference_volume = read_nifti(cfg.reference_volume)
@@ -553,11 +615,13 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                 if reg_targets is None:
                     reg_targets, reg_mo, reg_ofs = \
                         prepare_registration_slices(batch, recon_attr.dx)
-                new_t, _ = s2v.register_slices_to_volume(
-                    reg_cfg, recon, recon_w2i_j,
-                    jnp.asarray(transforms, jnp.float32),
-                    jnp.asarray(reg_mo), jnp.asarray(reg_ofs),
-                    jnp.asarray(reg_targets), recon_attr.dx)
+                    reg_targets = place(jnp.asarray(reg_targets))
+                    reg_mo = place(jnp.asarray(reg_mo))
+                    reg_ofs = place(jnp.asarray(reg_ofs))
+                new_t, _ = _reg_fn(recon, recon_w2i_j,
+                                   place(jnp.asarray(transforms,
+                                                     jnp.float32)),
+                                   reg_mo, reg_ofs, reg_targets)
                 transforms = np.asarray(new_t, np.float64)
             stats.sample("registration")
 
@@ -579,12 +643,13 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                           else cfg.rec_iterations_last)
 
         # geometry + initial volume
-        geom, sume = svr_core.build_geometry(
-            ctx, recon_w2i_j, jnp.asarray(transforms, jnp.float32),
-            slice_i2w_j, dims_j, valid, mask_flat)
+        geom, sume = _geom_fn(recon_w2i_j,
+                              place(jnp.asarray(transforms, jnp.float32)),
+                              slice_i2w_j, dims_j, valid, mask_flat,
+                              stack_id_j)
         em = svr_core.init_em_state(n, valid)
-        recon, vol_weights, voxel_count = svr_core.gaussian_reconstruction(
-            ctx, geom, sume, slices_j, valid, em.bias, em.scale, mask_flat)
+        recon, vol_weights, voxel_count = _gauss_fn(
+            slices_j, valid, geom, sume, em.bias, em.scale, mask_flat)
         stats.sample("gaussian reconstruction")
 
         # exclude slices with small ROI overlap (GaussianReconstructionGPU)
@@ -593,24 +658,18 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         small_slices = vc < 0.1 * median
         excluded = jnp.asarray(force_excluded | small_slices)
 
-        sim_state = svr_core.simulate(ctx, geom, sume, recon, mask_flat)
-        em = svr_core.initialize_robust_statistics(
-            ctx, slices_j, valid, sim_state, em, max_i, min_i, excluded)
-        em, _ = svr_core.estep(ctx, slices_j, valid, sume, sim_state, em,
-                               excluded)
+        sim_state = _sim_fn(geom, sume, recon, mask_flat)
+        em = _irs_fn(slices_j, valid, sim_state, em, max_i, min_i,
+                     excluded)
+        em, _ = _estep_fn(slices_j, valid, sume, sim_state, em, excluded)
         stats.sample("simulate+estep")
 
-        do_bias = (cfg.intensity_matching
-                   and not cfg.disable_bias_correction and cfg.sigma > 0)
-        do_nbias = do_bias and not cfg.global_bias_correction
         for sr_it in range(rec_iterations):
-            em, sim_state, recon = svr_core.inner_iteration(
-                ctx, geom, sume, slices_j, valid, em, sim_state, recon,
+            em, sim_state, recon = _inner_fn(
+                geom, sume, slices_j, valid, em, sim_state, recon,
                 vol_weights, mask_j, mask_flat, excluded,
                 jnp.float32(alpha), jnp.float32(lam), jnp.float32(min_i),
-                jnp.float32(max_i), jnp.int32(sr_it + 1),
-                do_bias=do_bias, do_scale=cfg.intensity_matching,
-                do_normalise_bias=do_nbias)
+                jnp.float32(max_i), jnp.int32(sr_it + 1))
         stats.sample("superresolution loop")
 
         recon = mask_volume(recon, mask_j)

@@ -48,13 +48,23 @@ from .optimizer import OptimizerConfig, optimize_level
 
 @dataclasses.dataclass(frozen=True)
 class SliceRegConfig:
-    """Hyperparameters of prepareSliceToVolumeReg
-    (reconstruction_cuda2.cu:3884-3900)."""
-    levels: int = 2
+    """Slice-to-volume registration hyperparameters.
+
+    The DEFAULTS follow the reference's default registration path — the
+    CPU GuessParameterSliceToVolume preset
+    (irtkImageRigidRegistrationWithPadding.cc:304-377): 3 pyramid levels,
+    4 step rounds x 20 iterations, step length 2 * 2^level (mm/deg,
+    halved each round), epsilon 1e-4.  The GPU path's fine-step preset
+    (prepareSliceToVolumeReg, reconstruction_cuda2.cu:3884-3900: 2
+    levels, step 0.1 * 2^level) is reachable with levels=2, step0=0.1 —
+    round-3 measurement: its 0.1-0.2 mm/deg steps cannot traverse
+    multi-mm/deg motion within the iteration budget, so rotations never
+    move (tools/README.md, diag_s2v4/5)."""
+    levels: int = 3
     steps: int = 4
     iterations: int = 20
     epsilon: float = 1e-4
-    step0: float = 0.1          # _LengthOfSteps[l] = 0.1 * 2^l
+    step0: float = 2.0          # _LengthOfSteps[l] = step0 * 2^l
     max_linesearch: int = 16
     through_plane_offsets: Tuple[int, ...] = (-1, 0, 1)  # x2 voxels in z
 

@@ -21,7 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 # EACH to compile on CPU (the "Very slow compile" alarm) — cached, a full
 # suite re-run drops from ~16 min to a few minutes.  JAX_CACHE_DIR=""
 # disables.
-_cache = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_compile_cache")
+_cache = os.environ.get(
+    "JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_compile_cache"))
 if _cache:
     try:
         jax.config.update("jax_compilation_cache_dir", _cache)

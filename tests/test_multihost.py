@@ -22,7 +22,8 @@ WORKER = textwrap.dedent("""
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(coordinator_address="localhost:12655",
+    port = sys.argv[2]
+    jax.distributed.initialize(coordinator_address="localhost:" + port,
                                num_processes=2, process_id=pid)
     import jax.numpy as jnp
     import numpy as np
@@ -63,18 +64,27 @@ WORKER = textwrap.dedent("""
 """)
 
 
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_distributed_psum(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     # the worker script lives in tmp_path; make the repo importable
-    env["PYTHONPATH"] = "/root/repo" + (
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
-    procs = [subprocess.Popen([sys.executable, str(script), str(pid)],
+    port = str(_free_port())
+    procs = [subprocess.Popen([sys.executable, str(script), str(pid), port],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True,
-                              env=env, cwd="/root/repo")
+                              env=env, cwd=repo_root)
              for pid in (0, 1)]
     outs = []
     for p in procs:

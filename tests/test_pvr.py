@@ -75,3 +75,30 @@ def test_pvr_end_to_end():
     assert p > 13.0, f"PVR PSNR {p}"
     # many more patches than slices
     assert res.transforms.shape[0] > sum(s.attr.z for s in stacks)
+
+
+@pytest.mark.slow
+def test_pvr_evaluate_gt_csv(tmp_path, monkeypatch):
+    """--evaluateGt wiring: the iteration hook must survive the pipeline's
+    3-arg call (it, recon, transforms) and append one CSV row per outer
+    iteration (EvaluateGt3d, irtkPatchBasedReconstruction.cpp:570-580)."""
+    import os
+    monkeypatch.chdir(tmp_path)
+    gt = make_ground_truth(n=24, spacing=1.8)
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.2, dz=3.6)
+    mask = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
+    from fetalreconstruction_tpu.io.nifti import write_nifti
+    gt_path = str(tmp_path / "gt.nii.gz")
+    write_nifti(gt, gt_path)
+    cfg = PVRConfig(iterations=2, resolution=1.8, rec_iterations_first=2,
+                    rec_iterations_last=2, smooth_mask=2.0,
+                    multires_levels=1, reg_levels=1, reg_iterations=2,
+                    patch_size=10, patch_stride=5, engine="exact",
+                    evaluate_gt=gt_path, no_log=True)
+    run_pvr(cfg, stacks=stacks, mask=mask)
+    csv = tmp_path / "log-evaluate-Gt.csv"
+    assert csv.exists(), "evaluateGt must produce log-evaluate-Gt.csv"
+    lines = [l for l in csv.read_text().splitlines() if l.strip()]
+    # header + one row per outer iteration
+    assert len(lines) == 1 + cfg.iterations, lines
+    assert "iter-0" in lines[1] and "iter-1" in lines[2]

@@ -21,6 +21,8 @@ def test_bias_correct_volume_removes_low_freq_field():
     field = np.exp(0.4 * x)          # smooth multiplicative bias
     recon = original * field
     mask = (original > 0).astype(np.float32)
+    # sigma 8 mm (not the pipeline default 12): smaller separable blur
+    # kernel keeps the CPU test fast; the assertion is the same either way
     out = np.asarray(bias_correct_volume(
         jnp.asarray(recon, jnp.float32), jnp.asarray(original, jnp.float32),
         jnp.asarray(mask), 0.0, 500.0, 0.01, 8.0, (2.0, 2.0, 2.0)))
@@ -40,6 +42,7 @@ def test_low_intensity_cutoff_gates_correction():
     original = np.full((n, n, n), 2.0, np.float32)  # below cutoff
     recon = original * 1.5
     mask = np.ones_like(original)
+    # sigma 6 mm for test runtime (smaller blur kernel), not for accuracy
     out = np.asarray(bias_correct_volume(
         jnp.asarray(recon), jnp.asarray(original), jnp.asarray(mask),
         0.0, 1000.0, 0.01, 6.0, (2.0, 2.0, 2.0)))

@@ -255,3 +255,75 @@ def test_pipeline_mesh_mode_matches_single_device():
     b = r_mesh.reconstructed.data
     assert a.shape == b.shape
     assert np.allclose(a, b, atol=5e-2), np.abs(a - b).max()
+
+
+@pytest.mark.slow
+def test_sharded_registration_matches_single_device():
+    """sharded_register_slices (the production mesh registration stage)
+    must equal the single-device register_slices_to_volume on a REAL
+    problem: injected per-slice motion, registered against the true
+    volume as the recon target (per-slice problems are independent, so
+    partitioning over the mesh is exact)."""
+    from fetalreconstruction_tpu.core.geometry import rigid_matrix
+    from fetalreconstruction_tpu.ops.sampling import resample_to_grid
+    from fetalreconstruction_tpu.register import slice2vol as s2v
+    from fetalreconstruction_tpu.register.prepare import \
+        prepare_registration_slices
+
+    gt = make_ground_truth(n=24, spacing=1.8)
+    rng = np.random.default_rng(5)
+    nz = int(24 * 1.8 / 3.0)
+    motions = np.zeros((nz, 6))
+    motions[::2, :3] = rng.uniform(-1.5, 1.5, (len(motions[::2]), 3))
+    motions[::2, 3:] = rng.uniform(-2.0, 2.0, (len(motions[::2]), 3))
+    stacks, _ = simulate_stacks(gt, n_stacks=1, in_plane=2.0, dz=3.0,
+                                noise=0.5, slice_motions=[motions])
+    batch = create_slices(stacks, [6.0])
+    n0 = batch.n_slices
+    n = sharded.pad_slices_for_mesh(n0, 8)
+    if n > n0:
+        pad = np.full((n - n0,) + batch.data.shape[1:], -1.0, np.float32)
+        batch.data = np.concatenate([batch.data, pad])
+        batch.i2w = np.concatenate([batch.i2w,
+                                    np.tile(batch.i2w[-1:],
+                                            (n - n0, 1, 1))])
+        batch.dims = np.concatenate([batch.dims,
+                                     np.tile(batch.dims[-1:],
+                                             (n - n0, 1))])
+        batch.stack_index = np.concatenate(
+            [batch.stack_index,
+             np.full((n - n0,), batch.stack_index[-1], np.int32)])
+        batch.attrs = batch.attrs + [batch.attrs[-1].copy()
+                                     for _ in range(n - n0)]
+
+    ra = gt.attr.with_spacing(1.8, 1.8, 1.8)
+    recon = resample_to_grid(
+        jnp.asarray(gt.data), jnp.asarray(gt.attr.w2i(), jnp.float32),
+        ra.shape_zyx, jnp.asarray(ra.i2w(), jnp.float32),
+        interp="linear", padding=0.0)
+    recon_w2i = jnp.asarray(ra.w2i(), jnp.float32)
+    targets, mo, ofs = prepare_registration_slices(batch, ra.dx)
+    t0 = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
+
+    cfg = s2v.SliceRegConfig(levels=1, iterations=3)
+    single_t, single_sim = s2v.register_slices_to_volume(
+        cfg, recon, recon_w2i, t0, jnp.asarray(mo), jnp.asarray(ofs),
+        jnp.asarray(targets), ra.dx)
+
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    reg_fn = sharded.sharded_register_slices(cfg, mesh, ra.dx)
+    mesh_t, mesh_sim = reg_fn(recon, recon_w2i, t0, jnp.asarray(mo),
+                              jnp.asarray(ofs), jnp.asarray(targets))
+
+    # the single-device optimizer must have actually moved (non-trivial
+    # problem), and the sharded result must agree to far below a voxel.
+    # Exact equality is NOT expected: per-slice reductions tile
+    # differently at shard size vs batch size, and the line search's
+    # discrete accept/reject decisions amplify that float noise (the
+    # reference's multi-GPU slice partitioning has the same property).
+    assert float(jnp.abs(single_t - t0).max()) > 1e-3
+    assert np.allclose(np.asarray(mesh_t), np.asarray(single_t),
+                       atol=5e-2), \
+        float(np.abs(np.asarray(mesh_t) - np.asarray(single_t)).max())
+    assert np.allclose(np.asarray(mesh_sim), np.asarray(single_sim),
+                       atol=1e-2)

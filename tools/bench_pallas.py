@@ -38,7 +38,7 @@ def main():
     t0 = time.perf_counter()
     plan = ps.build_scatter_plan(geom.xp, geom.sid, vol_shape, S)
     jax.block_until_ready(plan.blk)
-    _ = int(np.asarray(plan.cnt).sum())
+    _ = int(np.asarray(plan.cnt8).sum())
     print(f"plan build: {(time.perf_counter() - t0) * 1e3:.0f} ms "
           f"(includes compile); chunks {plan.blk.shape[0]}")
 
@@ -49,21 +49,37 @@ def main():
         return pf._splat2_blocked(xp, a, b, vol_shape, sid=sid,
                                   n_stacks=S)
 
+    # kernel CORE only: gather + update-stream build + pallas_call,
+    # returning the PACKED accumulator (no unpack/reshape) — isolates the
+    # scatter replacement cost from the hand-off layout question
+    def core_fn(plan, a, b):
+        return ps.pallas_splat2_packed(plan, a, b, vol_shape, S)
+
+    cj0 = jax.jit(core_fn)
+    cj = lambda a, b: cj0(plan, a, b)
+    packed = cj(pay_a, pay_b)
+    print("packed out:", packed.shape)
+    t("Pallas CORE (packed out)", cj, pay_a, pay_b)
+
+    xj0 = jax.jit(xla_fn)
+    xj = lambda a, b: xj0(geom.xp, geom.sid, a, b)
+    ref = xj(pay_a, pay_b)
+    t("XLA _splat2_blocked", xj, pay_a, pay_b)
+
     def pls_fn(plan, a, b):
         return ps.pallas_splat2_blocked(plan, a, b, vol_shape, S)
 
-    xj0 = jax.jit(xla_fn)
-    pj0 = jax.jit(pls_fn)
-    xj = lambda a, b: xj0(geom.xp, geom.sid, a, b)
-    pj = lambda a, b: pj0(plan, a, b)
-    ref = xj(pay_a, pay_b)
-    out = pj(pay_a, pay_b)
-    d = float(jnp.abs(out - ref).max())
-    sc = float(jnp.abs(ref).max())
-    print(f"max diff vs XLA: {d:.3e} (scale {sc:.3e})")
-
-    t("XLA _splat2_blocked", xj, pay_a, pay_b)
-    t("Pallas splat2_blocked", pj, pay_a, pay_b)
+    try:
+        pj0 = jax.jit(pls_fn)
+        pj = lambda a, b: pj0(plan, a, b)
+        out = pj(pay_a, pay_b)
+        d = float(jnp.abs(out - ref).max())
+        sc = float(jnp.abs(ref).max())
+        print(f"max diff vs XLA: {d:.3e} (scale {sc:.3e})")
+        t("Pallas splat2_blocked (logical out)", pj, pay_a, pay_b)
+    except Exception as e:
+        print(f"logical-out path failed: {type(e).__name__}: "
+              f"{str(e)[:300]}")
 
     # full fast_scatter2 path with Pallas core
     def fs2_pallas(plan, a, b):

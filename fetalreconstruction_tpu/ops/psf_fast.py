@@ -355,13 +355,16 @@ class FastPSF:
                  support: int, tol: float = 1e-3, pallas=None):
         self.support = support
         self.ranges = list(stack_slice_ranges)
-        # Pallas TPU scatter kernel: OPT-IN (FETALRECON_PALLAS=1).  The
-        # first-cut kernel's (rows, 16) buffers are lane-padded 8x by the
-        # TPU (8,128) tiling (~8 GB at canonical size -> HBM OOM on a
-        # 16 GB chip); until the padding-free layout lands the XLA scatter
-        # stays the default production path.
+        # Pallas TPU scatter kernel: DEFAULT ON for TPU backends since
+        # round 3 — the update-major (16, L) stream layout fixed the
+        # compile-time OOM of the first-cut kernel, and the production
+        # bench measured 1.28 it/s vs 1.01 it/s for the XLA scatter path
+        # on the canonical shape (BASELINE.md 2026-08-21; kernel core
+        # 285 ms vs 422 ms XLA scatter).  FETALRECON_PALLAS=0 forces the
+        # XLA path; CPU always uses XLA (the kernel would run in the slow
+        # interpreter).
         if pallas is None:
-            pallas = (os.environ.get("FETALRECON_PALLAS", "0") == "1"
+            pallas = (os.environ.get("FETALRECON_PALLAS", "1") != "0"
                       and jax.default_backend() != "cpu")
         self.pallas = bool(pallas)
         self.terms = []

@@ -28,15 +28,22 @@ import numpy as np
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_compile_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import jax.numpy as jnp
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--slices", type=int, default=64)
-    ap.add_argument("--vol", type=int, default=64)
-    ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--slices", type=int, default=32)
+    ap.add_argument("--vol", type=int, default=48)
+    ap.add_argument("--hw", type=int, default=48)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -73,6 +80,7 @@ def main():
                   recon, wts, mask, p["mask_flat"], excluded,
                   jnp.float32(1.0), jnp.float32(450.0), jnp.float32(100.0),
                   jnp.float32(700.0), jnp.int32(2))
+        print(f"compiling n={nd}...", flush=True)
         out = step(*args_t)            # compile + warmup
         jax.block_until_ready(out)
         best = 1e9

@@ -52,26 +52,37 @@ def main():
 
     mask = p["mask_flat"].reshape(vol_shape)
 
-    sim_j = jax.jit(lambda r: svr_core.simulate(ctx, geom, p["sume"], r,
-                                                p["mask_flat"]))
-    print("simulate           %.4f s" % timeit(sim_j, recon))
+    # every large array travels as a jit ARGUMENT — a closure constant
+    # is serialized into the HLO and blows the remote-compile tunnel's
+    # request limit (HTTP 413; same failure mode bench.py round 1 hit)
+    sim_j = jax.jit(lambda g, su, r, mf: svr_core.simulate(
+        ctx, g, su, r, mf))
+    print("simulate           %.4f s" % timeit(
+        sim_j, geom, p["sume"], recon, p["mask_flat"]), flush=True)
 
-    sr_j = jax.jit(lambda em_, sim_, r: svr_core.superresolution_step(
-        ctx, geom, p["sume"], p["slices"], p["valid"], em_, sim_, r,
-        p["mask_flat"], 1.0, 450.0, 100.0, 700.0))
-    print("superresolution    %.4f s" % timeit(sr_j, em, sim, recon))
+    sr_j = jax.jit(lambda g, su, sl, v, em_, sim_, r, mf:
+                   svr_core.superresolution_step(
+                       ctx, g, su, sl, v, em_, sim_, r, mf, 1.0, 450.0,
+                       100.0, 700.0))
+    print("superresolution    %.4f s" % timeit(
+        sr_j, geom, p["sume"], p["slices"], p["valid"], em, sim, recon,
+        p["mask_flat"]), flush=True)
 
-    es_j = jax.jit(lambda sim_, em_: svr_core.estep(
-        ctx, p["slices"], p["valid"], p["sume"], sim_, em_, excluded))
-    print("estep              %.4f s" % timeit(es_j, sim, em))
+    es_j = jax.jit(lambda sl, v, su, sim_, em_, ex: svr_core.estep(
+        ctx, sl, v, su, sim_, em_, ex))
+    print("estep              %.4f s" % timeit(
+        es_j, p["slices"], p["valid"], p["sume"], sim, em, excluded),
+        flush=True)
 
-    ms_j = jax.jit(lambda sim_, em_: svr_core.mstep(
-        ctx, p["slices"], p["valid"], p["sume"], sim_, em_, 2))
-    print("mstep              %.4f s" % timeit(ms_j, sim, em))
+    ms_j = jax.jit(lambda sl, v, su, sim_, em_: svr_core.mstep(
+        ctx, sl, v, su, sim_, em_, 2))
+    print("mstep              %.4f s" % timeit(
+        ms_j, p["slices"], p["valid"], p["sume"], sim, em), flush=True)
 
-    sc_j = jax.jit(lambda sim_, em_: svr_core.scale_step(
-        ctx, p["slices"], p["valid"], p["sume"], sim_, em_))
-    print("scale              %.4f s" % timeit(sc_j, sim, em))
+    sc_j = jax.jit(lambda sl, v, su, sim_, em_: svr_core.scale_step(
+        ctx, sl, v, su, sim_, em_))
+    print("scale              %.4f s" % timeit(
+        sc_j, p["slices"], p["valid"], p["sume"], sim, em), flush=True)
 
     # ---- primitives -------------------------------------------------------
     xp = geom.xp
@@ -79,16 +90,17 @@ def main():
     print("terms/stack:", [len(t) for t in fast.terms],
           "support:", fast.support)
 
-    g_j = jax.jit(lambda v: psf_fast.trilinear_gather(v, xp))
-    print("gather (all px)    %.4f s" % timeit(g_j, recon))
+    g_j = jax.jit(lambda v, x: psf_fast.trilinear_gather(v, x))
+    print("gather (all px)    %.4f s" % timeit(g_j, recon, xp), flush=True)
 
     pay = jnp.ones_like(p["slices"])
-    s_j = jax.jit(lambda a, b: psf_fast.trilinear_splat2(
-        xp, a, b, vol_shape))
-    print("splat2 (all px)    %.4f s" % timeit(s_j, pay, pay * 2))
+    s_j = jax.jit(lambda x, a, b: psf_fast.trilinear_splat2(
+        x, a, b, vol_shape))
+    print("splat2 (all px)    %.4f s" % timeit(s_j, xp, pay, pay * 2),
+          flush=True)
 
     c_j = jax.jit(lambda v: psf_fast.conv_separable(v, terms0))
-    print("conv_sep (1 stack) %.4f s" % timeit(c_j, recon))
+    print("conv_sep (1 stack) %.4f s" % timeit(c_j, recon), flush=True)
 
     from fetalreconstruction_tpu.sr.superresolution import (
         adaptive_regularization)

@@ -31,7 +31,8 @@ BASELINE_ITERS_PER_S = 0.57
 
 
 def build_problem(n_stacks=4, stack_slices=42, hw=144, vol=160,
-                  recon_dx=1.0, in_plane=1.25, thickness=5.0):
+                  recon_dx=1.0, in_plane=1.25, thickness=5.0,
+                  max_support=12):
     import jax.numpy as jnp
     from fetalreconstruction_tpu.core.geometry import (ImageAttributes,
                                                        rigid_matrix)
@@ -56,9 +57,9 @@ def build_problem(n_stacks=4, stack_slices=42, hw=144, vol=160,
             i2w[k] = t @ a.i2w()
             k += 1
     offsets = psf_ops.make_offsets(
-        psf_ops.reference_support(dims, recon_dx, 1.0, 12))
+        psf_ops.reference_support(dims, recon_dx, 1.0, max_support))
     from fetalreconstruction_tpu.ops.psf_fast import FastPSF
-    support = psf_ops.reference_support(dims, recon_dx, 1.0, 12)
+    support = psf_ops.reference_support(dims, recon_dx, 1.0, max_support)
     ranges = [(s * stack_slices, (s + 1) * stack_slices)
               for s in range(n_stacks)]
     a3s = [np.linalg.inv((recon_attr.w2i() @ i2w[r[0]])[:3, :3])

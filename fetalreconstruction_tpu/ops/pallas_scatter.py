@@ -188,16 +188,24 @@ def build_scatter_plan(xp, sid, vol_shape, n_stacks) -> ScatterPlan:
                        cnt8=cnt8.astype(jnp.int32))
 
 
+N_ACC = 1           # round-robin accumulators (measured on v5e: 1 acc
+                    # 285 ms, 2 accs 308 ms, 4 accs exceeds the 16 MB
+                    # scoped-vmem limit -> the slot-add loop is not
+                    # bound by the accumulator RMW chain; keep 1)
+
+
 def _make_kernel():
     from jax.experimental import pallas as pl
 
     def kernel(blk_ref, first_ref, last_ref, cnt8_ref, loc_ref, upd_ref,
-               out_ref, acc_ref, u_ref):
+               out_ref, *accs):
+        acc_refs, u_ref = accs[:N_ACC], accs[N_ACC]
         c = pl.program_id(0)
 
         @pl.when(first_ref[c] == 1)
         def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+            for a in acc_refs:
+                a[:] = jnp.zeros_like(a)
 
         # one sublane/lane transpose per chunk: the update stream arrives
         # UPDATE-MAJOR (16, CHUNK) — a padding-free HBM layout (a direct
@@ -211,7 +219,8 @@ def _make_kernel():
             for j in range(8):                       # static unroll
                 s = 8 * k8 + j
                 r = loc_ref[s]
-                acc_ref[pl.ds(r, 1), :] += u_ref[pl.ds(s, 1), :]
+                a = acc_refs[j % N_ACC]
+                a[pl.ds(r, 1), :] += u_ref[pl.ds(s, 1), :]
             return 0
 
         jax.lax.fori_loop(0, cnt8_ref[c], body, 0)
@@ -221,8 +230,10 @@ def _make_kernel():
             # pack (BR, 16) -> (BRQ, 128): in-block row r = lam*BRQ + q
             # lands at sublane q, lanes lam*16 +: 16 — all slices static
             for lam in range(8):
-                out_ref[0, :, 16 * lam:16 * (lam + 1)] = \
-                    acc_ref[BRQ * lam:BRQ * (lam + 1), :]
+                tot = acc_refs[0][BRQ * lam:BRQ * (lam + 1), :]
+                for a in acc_refs[1:]:
+                    tot = tot + a[BRQ * lam:BRQ * (lam + 1), :]
+                out_ref[0, :, 16 * lam:16 * (lam + 1)] = tot
 
     return kernel
 
@@ -272,8 +283,9 @@ def pallas_splat2_packed(plan: ScatterPlan, pay_a, pay_b, vol_shape,
         out_specs=pl.BlockSpec((1, BRQ, 128),
                                lambda c, b, f, la, n: (b[c], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BR, 16), jnp.float32),
-                        pltpu.VMEM((CHUNK, 16), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BR, 16), jnp.float32)
+                        for _ in range(N_ACC)]
+                       + [pltpu.VMEM((CHUNK, 16), jnp.float32)],
     )
     interpret = jax.default_backend() == "cpu"
     return pl.pallas_call(

@@ -55,7 +55,8 @@ def main():
     ctx, p = build_problem(n_stacks=n_stacks,
                            stack_slices=args.slices // n_stacks,
                            hw=args.hw, vol=args.vol, recon_dx=1.5,
-                           in_plane=1.9, thickness=6.0)
+                           in_plane=1.9, thickness=6.0,
+                           max_support=6)
     n = p["n"]
     em = svr_core.init_em_state(n, p["valid"])
     recon, wts, _ = svr_core.gaussian_reconstruction(

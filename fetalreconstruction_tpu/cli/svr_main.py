@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="Shard the slice batch over the first N devices "
                         "(0 = all devices if more than one, else single)")
+    p.add_argument("--mesh-mode", choices=("slices", "volume"),
+                   default="slices",
+                   help="'slices': data-parallel slice sharding "
+                        "(replicated volume); 'volume': z-slab volume "
+                        "sharding for large-area runs "
+                        "(parallel/volume_sharded.py)")
     p.add_argument("--distributed", action="store_true",
                    help="Multi-host: call jax.distributed.initialize() "
                         "before device discovery (set JAX coordinator env "
@@ -105,9 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_mesh(n: int):
-    """Build a 1-D 'slices' mesh over the first n devices (all if n==0 and
-    more than one device is present; None for single-device runs)."""
+def make_mesh(n: int, mode: str = "slices"):
+    """Build a 1-D mesh over the first n devices (all if n==0 and more
+    than one device is present; None for single-device runs).  The axis
+    name selects the sharding mode: "slices" (slice-DP) or "vol_z"
+    (volume z-slab sharding)."""
     import jax
     from jax.sharding import Mesh
     import numpy as np
@@ -116,7 +124,8 @@ def make_mesh(n: int):
         n = len(devs)
     if n <= 1:
         return None
-    return Mesh(np.asarray(devs[:n]), ("slices",))
+    axis = "vol_z" if mode == "volume" else "slices"
+    return Mesh(np.asarray(devs[:n]), (axis,))
 
 
 class _LogRedirect:
@@ -209,14 +218,16 @@ def main(argv=None) -> int:
     cfg.debug = cfg.debug or args.debug_gpu
     cfg.transformation_files = args.transformations
 
-    mesh = make_mesh(args.mesh) if (args.mesh or args.distributed) else None
+    mesh = make_mesh(args.mesh, args.mesh_mode) \
+        if (args.mesh or args.distributed) else None
     import contextlib
     tracer = contextlib.nullcontext()
     if args.trace:
         from ..utils.tracing import trace
         tracer = trace(args.trace)
     with tracer, _LogRedirect(args.log_prefix, not args.no_log):
-        result = run_svr(cfg, mesh=mesh)
+        result = run_svr(cfg, mesh=mesh,
+                         mesh_mode=args.mesh_mode)
     write_nifti(result.reconstructed, cfg.output)
     print(f"wrote {cfg.output}")
     if result.bspline_reconstructed is not None:

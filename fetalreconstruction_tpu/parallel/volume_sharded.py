@@ -251,7 +251,12 @@ def vs_fast_scatter2(fast: pf.FastPSF, geom: VSGeom, pay_a, pay_b,
         own = ((zc >= z0) & (zc < z0 + lz) & (zc >= 0) & (zc < zs)
                & (yc >= 0) & (yc < ys) & (xc >= 0) & (xc < xs))
         lin = ((sid_b * lz + (zc - z0)) * ys + yc) * xs + xc
-        rows_all.append(jnp.where(own, lin, -1).reshape(-1))
+        # disowned corners go to a POSITIVE out-of-bounds sentinel: with
+        # mode="drop" a -1 row would WRAP numpy-style into the slab's
+        # last voxel (the replicated engine's -1 harmlessly wraps into a
+        # trimmed halo row; a dense slab has no halo to sacrifice)
+        rows_all.append(jnp.where(own, lin,
+                                  s_ * lz * ys * xs).reshape(-1))
         w = wts[..., c].reshape(-1)
         upd_all.append(jnp.stack([w * a, w * b], axis=-1))
     rows = jnp.concatenate(rows_all)

@@ -234,7 +234,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
             mask: Optional[Image] = None,
             slice_factory=None,
             reference_volume: Optional[Image] = None,
-            mesh=None, iteration_hook=None) -> SVRResult:
+            mesh=None, mesh_mode: str = "slices",
+            iteration_hook=None) -> SVRResult:
     """slice_factory (optional): callable(cropped_stacks, thickness,
     recon_mask_img, stack_transforms) -> SliceBatch, used by the PVR
     pipeline to substitute patches for whole slices.
@@ -243,15 +244,22 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     initial reconstruction, and registration then runs already at
     iteration 0 (reconstruction.cc:254-258, 826).
 
-    mesh (optional jax.sharding.Mesh with a "slices" axis): runs every
-    device stage — registration, geometry, gaussian reconstruction and the
-    fused EM/SR iteration — through the explicit shard_map program in
-    parallel/sharded.py (slices sharded, volume replicated, psum
-    collectives; the TPU-native form of the reference's multi-GPU
-    reduce-to-root + broadcast, reconstruction_cuda2.cu:2225-2239).  The
-    slice count is padded to a mesh multiple with invalid slices.  The
-    host-side package-to-volume hierarchy (CPU TBB in the reference) stays
-    replicated."""
+    mesh (optional jax.sharding.Mesh): with mesh_mode="slices" (a
+    "slices" axis) every device stage — registration, geometry, gaussian
+    reconstruction and the fused EM/SR iteration — runs through the
+    explicit shard_map program in parallel/sharded.py (slices sharded,
+    volume replicated, psum collectives; the TPU-native form of the
+    reference's multi-GPU reduce-to-root + broadcast,
+    reconstruction_cuda2.cu:2225-2239).  The slice count is padded to a
+    mesh multiple with invalid slices.  The host-side package-to-volume
+    hierarchy (CPU TBB in the reference) stays replicated.
+
+    mesh_mode="volume" (a "vol_z" axis mesh): the LARGE-AREA mode
+    (SURVEY §5) — the recon grid, per-stack conv tables and scatter
+    accumulators shard into z-slabs (parallel/volume_sharded.py) with
+    slices replicated; the recon z-extent is padded to a mesh multiple.
+    Requires the fast engine; NormaliseBias is skipped under volume
+    sharding (its sigma_bias blur halo exceeds sensible slab sizes)."""
     stats = PerfStats()
 
     # ----- load inputs ----------------------------------------------------
@@ -335,6 +343,10 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     if manual_img is not None and tmpl == 0:
         manual_img = crop_image(manual_img, m_tmpl)
     recon_attr = create_template(stacks[tmpl], cfg.resolution)
+    if mesh is not None and mesh_mode == "volume":
+        # z-slab sharding needs the grid z to divide the mesh
+        from ..parallel.volume_sharded import pad_attr_z
+        recon_attr, _ = pad_attr_z(recon_attr, mesh.devices.size)
     recon_mask_img = set_mask(mask, recon_attr, cfg.smooth_mask)
     stats.sample("template+mask")
 
@@ -431,7 +443,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         low_intensity_cutoff=cfg.low_intensity_cutoff,
         fast=fast)
 
-    if mesh is not None:
+    if mesh is not None and mesh_mode == "slices":
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.sharded import pad_slices_for_mesh
         n_dev = mesh.devices.size
@@ -469,6 +481,10 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     stack_id_j = place(jnp.asarray(batch.stack_index, jnp.int32))
     recon_w2i_j = jnp.asarray(recon_attr.w2i(), jnp.float32)
     mask_j = jnp.asarray(recon_mask_img.data)
+    if mesh is not None and mesh_mode == "volume":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mask_j = jax.device_put(
+            mask_j, NamedSharding(mesh, P("vol_z")))
     mask_flat = mask_j.reshape(-1)
     pos = batch.data[batch.data > 0]
     max_i = float(pos.max()) if pos.size else 1.0
@@ -490,10 +506,50 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     do_nbias = do_bias and not cfg.global_bias_correction
 
     # stage dispatch: with a mesh every device stage runs the explicit
-    # shard_map program (parallel/sharded.py) — the same program the
-    # multi-chip dryrun and the CPU-mesh equality tests validate;
-    # without one, the plain jitted svr_core graph
-    if mesh is not None:
+    # shard_map program (parallel/sharded.py for slice-DP,
+    # parallel/volume_sharded.py for z-slab volume sharding) — the same
+    # programs the multi-chip dryrun and the CPU-mesh equality tests
+    # validate; without one, the plain jitted svr_core graph
+    if mesh is not None and mesh_mode == "volume":
+        from ..parallel import volume_sharded as vsd
+        if ctx.fast is None:
+            raise ValueError("mesh_mode='volume' requires engine='fast'")
+        if do_nbias:
+            do_nbias = False  # documented v1 limitation (module docstring)
+        _vs_geom = vsd.vs_build_geometry_fn(ctx, mesh)
+        _vs_gauss = vsd.vs_gaussian_reconstruction_fn(ctx, mesh)
+        _vs_sim = vsd.vs_simulate_fn(ctx, mesh)
+        _vs_inner = vsd.vs_inner_iteration_fn(
+            ctx, mesh, do_bias=do_bias, do_scale=cfg.intensity_matching)
+
+        def _geom_fn(rw2i, t, i2w, dims, v, mf, sid):
+            g = _vs_geom(rw2i, t, i2w, v, mask_j, sid)
+            return g, g.sume
+
+        def _gauss_fn(s, v, geom, sume, b, sc, mf):
+            return _vs_gauss(s, v, geom, b, sc, mask_j)
+
+        def _sim_fn(geom, sume, rec, mf):
+            return _vs_sim(geom, rec, mask_j)
+
+        def _irs_fn(s, v, ss, em_, mx, mn, ex):
+            return svr_core.initialize_robust_statistics(ctx, s, v, ss,
+                                                         em_, mx, mn, ex)
+
+        def _estep_fn(s, v, sume, ss, em_, ex):
+            return svr_core.estep(ctx, s, v, sume, ss, em_, ex)
+
+        def _inner_fn(geom, sume, s, v, em_, ss, rec, vw, m, mf, ex, a,
+                      lm, mn, mx, it_):
+            return _vs_inner(geom, s, v, em_, ss, rec, mask_j, ex, a, lm,
+                             mn, mx, it_)
+
+        def _reg_fn(rec, rw2i, t, mo, ofs, tg):
+            # registration reads the (sharded) volume replicated
+            return s2v.register_slices_to_volume(reg_cfg, rec, rw2i, t,
+                                                 mo, ofs, tg,
+                                                 recon_attr.dx)
+    elif mesh is not None:
         from ..parallel import sharded
         _geom_fn = sharded.sharded_build_geometry(ctx, mesh)
         _gauss_fn = sharded.sharded_gaussian_reconstruction(ctx, mesh)

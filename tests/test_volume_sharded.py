@@ -158,3 +158,45 @@ def test_vs_inner_iteration_matches(setup):
                                np.asarray(em_r.slice_weight), atol=1e-3)
     np.testing.assert_allclose(float(em_v.sigma2), float(em_r.sigma2),
                                rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_vs_pipeline_mode_matches_single_device():
+    """run_svr(mesh_mode='volume') must reproduce the single-device
+    pipeline result (z-slab sharded volume state end to end)."""
+    from fetalreconstruction_tpu.pipeline.config import SVRConfig
+    from fetalreconstruction_tpu.pipeline.svr import run_svr
+    from fetalreconstruction_tpu.core.image import Image
+
+    gt = make_ground_truth(n=20, spacing=2.4)
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.5, dz=4.0,
+                                noise=1.0)
+    mask_img = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
+    # bias correction OFF in both runs: volume sharding skips
+    # NormaliseBias (documented v1 limitation), so the comparison must
+    # not include it on the single-device side either
+    cfg = SVRConfig(iterations=2, resolution=2.4, rec_iterations_first=2,
+                    rec_iterations_last=2, smooth_mask=2.0,
+                    multires_levels=1, reg_levels=1, reg_iterations=2,
+                    max_psf_support=8, no_log=True,
+                    disable_bias_correction=True)
+    r_single = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
+                                    for s in stacks], mask=mask_img)
+    mesh = vs.make_vol_mesh(jax.devices()[:4])
+    r_vs = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
+                                for s in stacks], mask=mask_img,
+                   mesh=mesh, mesh_mode="volume")
+    a, b = r_single.reconstructed, r_vs.reconstructed
+    # the volume-sharded grid is z-padded to the mesh multiple; compare on
+    # the overlapping region resampled to the single-device grid
+    import jax.numpy as jnp
+    from fetalreconstruction_tpu.ops.sampling import resample_to_grid
+    b_on_a = np.asarray(resample_to_grid(
+        jnp.asarray(b.data), jnp.asarray(b.attr.w2i(), jnp.float32),
+        a.attr.shape_zyx, jnp.asarray(a.attr.i2w(), jnp.float32),
+        interp="nn", padding=0.0))
+    roi = (a.data > 0) & (b_on_a > 0)
+    assert roi.mean() > 0.1
+    sc = max(float(np.abs(a.data[roi]).max()), 1.0)
+    err = np.abs(a.data[roi] - b_on_a[roi])
+    assert err.max() < 5e-2 * sc, err.max()

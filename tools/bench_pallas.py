@@ -95,5 +95,55 @@ def main():
       pay_b)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--stream" not in sys.argv:
     main()
+
+
+def stream_only():
+    """Time the per-call stream build (payload gathers + u16 stack)
+    WITHOUT the kernel — isolates kernel cost from stream-build cost."""
+    import jax
+    import jax.numpy as jnp
+    from bench import build_problem
+    from fetalreconstruction_tpu.ops import pallas_scatter as ps
+
+    ctx, p = build_problem()
+    geom = p["geom"]
+    S = len(ctx.fast.terms)
+    rng = np.random.default_rng(1)
+    pay_a = jnp.asarray(rng.uniform(0, 1, p["slices"].shape), jnp.float32)
+    pay_b = jnp.ones_like(pay_a)
+    plan = ps.build_scatter_plan(geom.xp, geom.sid,
+                                 tuple(ctx.vol_shape), S)
+    jax.block_until_ready(plan.blk)
+
+    def build(plan, a, b):
+        pa = jnp.take(a.reshape(-1), plan.pperm, axis=0)
+        pb = jnp.take(b.reshape(-1), plan.pperm, axis=0)
+        return jnp.stack([plan.wtsT[c] * (pb if pp else pa)
+                          for c in range(8) for pp in (0, 1)])
+
+    bj = jax.jit(build)
+    t("stream build only (takes + u16)", lambda: bj(plan, pay_a, pay_b))
+
+    def takes_only(plan, a, b):
+        pa = jnp.take(a.reshape(-1), plan.pperm, axis=0)
+        pb = jnp.take(b.reshape(-1), plan.pperm, axis=0)
+        return pa + pb
+
+    tj = jax.jit(takes_only)
+    t("payload takes only", lambda: tj(plan, pay_a, pay_b))
+
+    def u16_only(plan, pa, pb):
+        return jnp.stack([plan.wtsT[c] * (pb if pp else pa)
+                          for c in range(8) for pp in (0, 1)])
+
+    pa0 = jnp.take(pay_a.reshape(-1), plan.pperm, axis=0)
+    pb0 = jnp.take(pay_b.reshape(-1), plan.pperm, axis=0)
+    uj = jax.jit(u16_only)
+    t("u16 build only (given takes)", lambda: uj(plan, pa0, pb0))
+
+
+if __name__ == "__main__" and "--stream" in sys.argv:
+    stream_only()
+    sys.exit(0)

@@ -260,8 +260,12 @@ def pallas_splat2_packed(plan: ScatterPlan, pay_a, pay_b, vol_shape,
     nchunk = plan.blk.shape[0]
     L = nchunk * CHUNK
 
-    pa = jnp.take(pay_a.reshape(-1), plan.pperm, axis=0)     # (L,)
-    pb = jnp.take(pay_b.reshape(-1), plan.pperm, axis=0)
+    # ONE axis-1 gather of the stacked payload pair: measured 60 ms on
+    # v5e vs 262 ms for two flat axis-0 takes (the takes were the ENTIRE
+    # former stream cost — the kernel itself is ~20 ms)
+    g = jnp.take(jnp.stack([pay_a.reshape(-1), pay_b.reshape(-1)]),
+                 plan.pperm, axis=1)                      # (2, L)
+    pa, pb = g[0], g[1]
     # UPDATE-MAJOR stream (16, L): row 2c+p = corner-c weight * payload p.
     # Minor dim L keeps the HBM array padding-free (495 MB at canonical
     # size); the kernel transposes each (16, CHUNK) block in VMEM.  (The

@@ -93,6 +93,14 @@ def test_vs_scatter_matches(setup):
     pay_a = jnp.asarray(
         rng.uniform(0, 50, p["slices"].shape).astype(np.float32) * gate)
     pay_b = jnp.asarray(gate.astype(np.float32))
+    # RANDOM mask, nonzero up to the volume borders: the round-3 index-
+    # wrap bug corrupted each slab's LAST voxel — an interior-only
+    # (ellipsoid) mask zeroed exactly those voxels and hid it
+    mask = jnp.asarray((np.random.default_rng(7)
+                        .uniform(0, 1, ctx.vol_shape) > 0.2)
+                       .astype(np.float32))
+    p = dict(p, mask=mask)
+    geom_r = _replicated_geom(p)
     a_r, b_r = pf.fast_scatter2(p["fast"], geom_r, pay_a, pay_b,
                                 p["mask"], ctx.vol_shape)
 

@@ -27,11 +27,11 @@ slices/patches REPLICATED:
 Equality vs the replicated fast engine is asserted in
 tests/test_volume_sharded.py on the 8-device CPU mesh.
 
-v1 limitation: NormaliseBias (volume-space sigma_bias blur) is not
-offered under volume sharding — its ~4*sigma/dz halo (~50 voxels at
-12 mm / 1 mm) exceeds sensible slab sizes; run it replicated or disable
-bias for volume-sharded runs (the PVR pipeline this mode targets runs
-with patch-level bias only).
+NormaliseBias runs slab-wise too (vs_normalise_bias): its sigma_bias
+blur reaches ~4*sigma/dz z-rows (~50 at 12 mm / 1 mm) — often more than
+a slab — which the MULTI-HOP halo exchange covers; the boundary
+renormalization halo-exchanges a ones-volume so edge weights match the
+replicated operator exactly.
 """
 from __future__ import annotations
 
@@ -272,6 +272,56 @@ def vs_fast_scatter2(fast: pf.FastPSF, geom: VSGeom, pay_a, pay_b,
     return out[0] * m, out[1] * m
 
 
+def vs_gaussian_blur(slab, sigma_mm: float, spacing_xyz, axis_name: str):
+    """ops.gaussian.gaussian_blur on z-slabs: in-plane passes are local;
+    the z pass halo-exchanges BOTH the data and a ones-volume so the
+    boundary renormalization divides by the GLOBAL in-bounds weight sum
+    (zero-filled halos at the true volume edges reproduce the replicated
+    operator exactly)."""
+    from ..ops.gaussian import gaussian_kernel1d, _blur_axis
+    dx, dy, dz = (float(spacing_xyz[0]), float(spacing_xyz[1]),
+                  float(spacing_xyz[2]))
+    out = _blur_axis(slab, gaussian_kernel1d(sigma_mm / dx), axis=2)
+    out = _blur_axis(out, gaussian_kernel1d(sigma_mm / dy), axis=1)
+    kz = gaussian_kernel1d(sigma_mm / dz)
+    r = (len(kz) - 1) // 2
+    if r == 0:
+        return out
+    ext = _halo_exchange_z(out, r, axis_name)
+    ext1 = _halo_exchange_z(jnp.ones_like(slab), r, axis_name)
+    num = pf._conv1d_axis(ext, kz, axis=0)[r:-r]
+    den = pf._conv1d_axis(ext1, kz, axis=0)[r:-r]
+    return num / den
+
+
+def vs_normalise_bias(ctx, geom: VSGeom, valid, em, recon_slab,
+                      vol_weights_slab, mask_slab, axis_name: str):
+    """NormaliseBias on z-slabs (svr_core.normalise_bias_step fast path):
+    scatter the per-slice log-bias through the PSF, divide by volume
+    weights, mask, blur (halo z-pass), divide by the blurred mask, exp."""
+    logs = jnp.log(jnp.maximum(em.scale, 1e-30))
+    b = jnp.where(valid & (em.scale[:, None, None] > 0),
+                  em.bias - logs[:, None, None], em.bias)
+    payload = jnp.where(valid & (geom.sume > 0), b, 0.0)
+    vol_bias, _ = vs_fast_scatter2(ctx.fast, geom, payload,
+                                   jnp.zeros_like(payload), mask_slab,
+                                   ctx.vol_shape, axis_name)
+    ok = vol_weights_slab > 0
+    vol_bias = jnp.where(ok, vol_bias / jnp.where(ok, vol_weights_slab,
+                                                  1.0), 0.0)
+    m = (mask_slab != 0).astype(recon_slab.dtype)
+    vol_bias = jnp.where(mask_slab != 0, vol_bias, 0.0)
+    vol_bias = vs_gaussian_blur(vol_bias, ctx.sigma_bias,
+                                ctx.vol_spacing, axis_name)
+    m_blur = vs_gaussian_blur(m, ctx.sigma_bias, ctx.vol_spacing,
+                              axis_name)
+    vol_bias = jnp.where(m_blur != 0,
+                         vol_bias / jnp.where(m_blur != 0, m_blur, 1.0),
+                         0.0)
+    return jnp.where(recon_slab != -1.0,
+                     recon_slab / jnp.exp(-vol_bias), recon_slab)
+
+
 def vs_adaptive_regularization(recon_slab, original_slab, cmap_slab,
                                alpha, lam, delta, axis_name: str):
     """13-direction regularization on 2-voxel halo-extended slabs.
@@ -366,20 +416,21 @@ def vs_simulate_fn(ctx, mesh: Mesh):
                            slice_inside=P())))
 
 
-def vs_inner_iteration_fn(ctx, mesh: Mesh, do_bias=False, do_scale=True):
+def vs_inner_iteration_fn(ctx, mesh: Mesh, do_bias=False, do_scale=True,
+                          do_normalise_bias=False):
     """Volume-sharded fused inner SR/EM iteration.
 
     Slices are replicated (every device computes identical EM state);
-    scatter/regularize/simulate run on z-slabs with psum/ppermute.
-    NormaliseBias is not offered under volume sharding (module
-    docstring).  f(geom, slices, valid, em, sim_state, recon_slab,
-    mask_slab, excluded, alpha, lam, min_i, max_i, sr_iteration) ->
-    (em, sim_state, recon_slab)."""
+    scatter/regularize/simulate/NormaliseBias run on z-slabs with
+    psum/ppermute.  f(geom, slices, valid, em, sim_state, recon_slab,
+    vol_weights_slab, mask_slab, excluded, alpha, lam, min_i, max_i,
+    sr_iteration) -> (em, sim_state, recon_slab)."""
     _vs_ctx_check(ctx)
     from ..em import bias as bias_mod
 
-    def body(geom, slices, valid, em, sim_state, recon_slab, mask_slab,
-             excluded, alpha, lam, min_i, max_i, sr_iteration):
+    def body(geom, slices, valid, em, sim_state, recon_slab,
+             vol_weights_slab, mask_slab, excluded, alpha, lam, min_i,
+             max_i, sr_iteration):
         gated = valid & (geom.sume > 0)
         if do_bias:
             em = em._replace(bias=bias_mod.bias_step(
@@ -404,6 +455,10 @@ def vs_inner_iteration_fn(ctx, mesh: Mesh, do_bias=False, do_scale=True):
         recon_slab = vs_adaptive_regularization(recon_slab, original,
                                                 cmap, alpha, lam,
                                                 ctx.delta, AXIS_V)
+        if do_normalise_bias:
+            recon_slab = vs_normalise_bias(ctx, geom, valid, em,
+                                           recon_slab, vol_weights_slab,
+                                           mask_slab, AXIS_V)
         sim, simw, inside = vs_fast_simulate(ctx.fast, geom, recon_slab,
                                              mask_slab, ctx.vol_shape,
                                              AXIS_V)
@@ -433,5 +488,5 @@ def vs_inner_iteration_fn(ctx, mesh: Mesh, do_bias=False, do_scale=True):
     return jax.jit(_smap(
         body, mesh,
         in_specs=(GEOM_SPEC, P(), P(), em_spec, sim_spec, SLAB, SLAB,
-                  P(), P(), P(), P(), P(), P()),
+                  SLAB, P(), P(), P(), P(), P(), P()),
         out_specs=(em_spec, sim_spec, SLAB)))

@@ -258,8 +258,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     (SURVEY §5) — the recon grid, per-stack conv tables and scatter
     accumulators shard into z-slabs (parallel/volume_sharded.py) with
     slices replicated; the recon z-extent is padded to a mesh multiple.
-    Requires the fast engine; NormaliseBias is skipped under volume
-    sharding (its sigma_bias blur halo exceeds sensible slab sizes)."""
+    Requires the fast engine; NormaliseBias runs slab-wise with
+    multi-hop blur halos (volume_sharded.vs_normalise_bias)."""
     stats = PerfStats()
 
     # ----- load inputs ----------------------------------------------------
@@ -514,13 +514,12 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         from ..parallel import volume_sharded as vsd
         if ctx.fast is None:
             raise ValueError("mesh_mode='volume' requires engine='fast'")
-        if do_nbias:
-            do_nbias = False  # documented v1 limitation (module docstring)
         _vs_geom = vsd.vs_build_geometry_fn(ctx, mesh)
         _vs_gauss = vsd.vs_gaussian_reconstruction_fn(ctx, mesh)
         _vs_sim = vsd.vs_simulate_fn(ctx, mesh)
         _vs_inner = vsd.vs_inner_iteration_fn(
-            ctx, mesh, do_bias=do_bias, do_scale=cfg.intensity_matching)
+            ctx, mesh, do_bias=do_bias, do_scale=cfg.intensity_matching,
+            do_normalise_bias=do_nbias)
 
         def _geom_fn(rw2i, t, i2w, dims, v, mf, sid):
             g = _vs_geom(rw2i, t, i2w, v, mask_j, sid)
@@ -541,8 +540,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
 
         def _inner_fn(geom, sume, s, v, em_, ss, rec, vw, m, mf, ex, a,
                       lm, mn, mx, it_):
-            return _vs_inner(geom, s, v, em_, ss, rec, mask_j, ex, a, lm,
-                             mn, mx, it_)
+            return _vs_inner(geom, s, v, em_, ss, rec, vw, mask_j, ex, a,
+                             lm, mn, mx, it_)
 
         def _reg_fn(rec, rw2i, t, mo, ofs, tg):
             # registration reads the (sharded) volume replicated

@@ -151,7 +151,7 @@ def test_vs_inner_iteration_matches(setup):
     step = vs.vs_inner_iteration_fn(ctx, p["mesh"], do_bias=False,
                                     do_scale=True)
     em_v, sim_v, recon_v = step(geom_v, p["slices"], p["valid"], em, sim,
-                                recon, p["mask"], excluded, *args)
+                                recon, wts, p["mask"], excluded, *args)
 
     # replicated step LAST: svr_core.inner_iteration donates em/sim/recon
     em_r, sim_r, recon_r = svr_core.inner_iteration(
@@ -180,14 +180,12 @@ def test_vs_pipeline_mode_matches_single_device():
     stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.5, dz=4.0,
                                 noise=1.0)
     mask_img = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
-    # bias correction OFF in both runs: volume sharding skips
-    # NormaliseBias (documented v1 limitation), so the comparison must
-    # not include it on the single-device side either
+    # full defaults including bias correction + NormaliseBias: the
+    # volume-sharded NormaliseBias (multi-hop blur halos) must match too
     cfg = SVRConfig(iterations=2, resolution=2.4, rec_iterations_first=2,
                     rec_iterations_last=2, smooth_mask=2.0,
                     multires_levels=1, reg_levels=1, reg_iterations=2,
-                    max_psf_support=8, no_log=True,
-                    disable_bias_correction=True)
+                    max_psf_support=8, no_log=True)
     r_single = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
                                     for s in stacks], mask=mask_img)
     mesh = vs.make_vol_mesh(jax.devices()[:4])

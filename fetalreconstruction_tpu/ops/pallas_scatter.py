@@ -32,15 +32,19 @@ accumulator alone ballooned to 8.1 GB and OOM'd the 16 GB chip.  Hence:
   unroll adds exact zeros — payloads must be pre-gated finite/zero at
   invalid pixels (fast_scatter2 guarantees this), else a pad slot could
   propagate NaN into the clipped row it aliases;
-- the accumulator leaves the kernel PACKED (NBLK, BR/8, 128): in-block
-  row r lives at sublane r % 1024, lanes (r // 1024)*16 +: 16, so the
-  end-of-block flush is eight static (1024, 16) copies; the cheap XLA
-  reshape/transpose back to logical (rows, 16) fuses into the consumer.
+- the accumulator leaves the kernel VAL-MAJOR (16, NBLK*BR): the flush
+  is one in-VMEM transpose per block, and with the PLANE-PADDED row
+  order (row = (((s*8+par)*Bz + bz)*By + by)*BXP + bx) every (s,par,bz)
+  bz-plane is a contiguous minor-dim span — the un-block kernel
+  (pallas_unblock) reads the 16 value planes as direct blocks,
+  x-interleaves on the MXU with one-hot matrices, y-interleaves as a
+  leading-dims reshape, and emits per-parity partial dense volumes with
+  no output revisits (measured 55 ms vs the 295 ms XLA transpose chain).
 
-The kernel reproduces `_splat2_blocked`'s accumulator (same row ids,
-same adds, sorted order), so `_unblock2` + the per-stack adjoint
-convolutions consume it unchanged; equality is asserted against the XLA
-path in tests/test_pallas_scatter.py.
+The kernel reproduces `_splat2_blocked`'s accumulator values (same adds,
+sorted order) in the val-major layout; equality against the XLA path is
+asserted in tests/test_pallas_scatter.py via the pallas_splat2_blocked
+logical view, and the production consumer is pallas_unblock.
 """
 from __future__ import annotations
 
@@ -53,7 +57,6 @@ import numpy as np
 
 CHUNK = 2048        # pixel rows per grid step
 BR = 8192           # accumulator rows per VMEM block
-BRQ = BR // 8       # sublanes of a packed accumulator block
 
 
 class ScatterPlan(NamedTuple):
@@ -85,25 +88,36 @@ class ScatterPlan(NamedTuple):
     cnt8: jax.Array
 
 
+def block_dims(vol_shape):
+    """(Bz, By, Bx, BXP): parity-block extents + the x-extent padded to
+    a multiple of 8 so every (s, par, bz) bz-plane is an exact, aligned
+    span of the plain row order (the un-block kernel's plane unit)."""
+    zs, ys, xs = vol_shape
+    Bz, By, Bx = (zs + 3) // 2, (ys + 3) // 2, (xs + 3) // 2
+    return Bz, By, Bx, -(-Bx // 8) * 8
+
+
 def _row_ids(xp, sid, vol_shape, n_stacks):
-    """Parity-blocked accumulator row per pixel — must match
-    psf_fast._splat2_blocked exactly."""
+    """PLANE-PADDED parity-blocked accumulator row per pixel:
+    row = (((s*8 + par)*Bz + bz)*By + by)*BXP + bx — identical adds to
+    psf_fast._splat2_blocked (the pad columns bx >= Bx are never
+    targeted), laid out so bz-planes are contiguous."""
     from .psf_fast import _corner_weights
 
     zs, ys, xs = vol_shape
-    Bz, By, Bx = (zs + 3) // 2, (ys + 3) // 2, (xs + 3) // 2
+    Bz, By, Bx, BXP = block_dims(vol_shape)
     ui, vi, wi, wts = _corner_weights(xp)
     inb = ((ui >= -1) & (ui < xs) & (vi >= -1) & (vi < ys)
            & (wi >= -1) & (wi < zs))
     sx, sy, sz = ui & 1, vi & 1, wi & 1
     bx, by, bz = (ui + sx) >> 1, (vi + sy) >> 1, (wi + sz) >> 1
     par = (sz << 2) | (sy << 1) | sx
-    row = ((par * Bz + bz) * By + by) * Bx + bx
+    row = ((par * Bz + bz) * By + by) * BXP + bx
     if sid is not None:
         nd = row.ndim - 1
         row = row + sid.astype(jnp.int32).reshape(
-            sid.shape + (1,) * nd) * (8 * Bz * By * Bx)
-    nrows = n_stacks * 8 * Bz * By * Bx
+            sid.shape + (1,) * nd) * (8 * Bz * By * BXP)
+    nrows = n_stacks * 8 * Bz * By * BXP
     # out-of-support pixels target the sacrificial row `nrows` (sorted
     # last, sliced off after the kernel — mirrors the XLA path's dropped
     # row -1)
@@ -112,9 +126,8 @@ def _row_ids(xp, sid, vol_shape, n_stacks):
 
 
 def acc_rows(vol_shape, n_stacks: int) -> int:
-    zs, ys, xs = vol_shape
-    Bz, By, Bx = (zs + 3) // 2, (ys + 3) // 2, (xs + 3) // 2
-    return n_stacks * 8 * Bz * By * Bx
+    Bz, By, Bx, BXP = block_dims(vol_shape)
+    return n_stacks * 8 * Bz * By * BXP
 
 
 def plan_sizes(n_pixels: int, nrows: int):
@@ -227,31 +240,26 @@ def _make_kernel():
 
         @pl.when(last_ref[c] == 1)
         def _():
-            # pack (BR, 16) -> (BRQ, 128): in-block row r = lam*BRQ + q
-            # lands at sublane q, lanes lam*16 +: 16 — all slices static
-            for lam in range(8):
-                tot = acc_refs[0][BRQ * lam:BRQ * (lam + 1), :]
-                for a in acc_refs[1:]:
-                    tot = tot + a[BRQ * lam:BRQ * (lam + 1), :]
-                out_ref[0, :, 16 * lam:16 * (lam + 1)] = tot
+            # flush VAL-MAJOR: out (16, BR) = acc.T — one supported
+            # sublane/lane transpose; combined with the plane-padded row
+            # order this makes every (s, par, bz) plane a contiguous
+            # minor-dim span, so the un-block kernel reads value planes
+            # as direct blocks (no unpack transposes at all)
+            tot = acc_refs[0][:]
+            for a in acc_refs[1:]:
+                tot = tot + a[:]
+            out_ref[:, :] = tot.T
 
     return kernel
-
-
-def _unpack_acc(packed, nrows):
-    """(NBLK, BRQ, 128) packed accumulator -> (nrows, 16) logical rows."""
-    nblk = packed.shape[0]
-    acc = packed.reshape(nblk, BRQ, 8, 16).transpose(0, 2, 1, 3)
-    return acc.reshape(nblk * BR, 16)[:nrows]
 
 
 def pallas_splat2_packed(plan: ScatterPlan, pay_a, pay_b, vol_shape,
                          n_stacks: int):
     """Kernel core: gather payloads into plan order, build the
     update-major stream and run the accumulate kernel.  Returns the
-    PACKED (NBLK, BRQ, 128) accumulator (see _unpack_acc for the row
-    layout) — callers that need the logical blocked form use
-    pallas_splat2_blocked."""
+    VAL-MAJOR (16, NBLK*BR) accumulator: lane r of row i holds value
+    i = ((cw*2+cv)*2+cu)*2+pay of plane-padded row r — consumed by
+    pallas_unblock (production) or pallas_splat2_blocked (tests)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -284,8 +292,8 @@ def pallas_splat2_packed(plan: ScatterPlan, pay_a, pay_b, vol_shape,
             pl.BlockSpec((16, CHUNK), lambda c, b, f, la, n: (0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BRQ, 128),
-                               lambda c, b, f, la, n: (b[c], 0, 0),
+        out_specs=pl.BlockSpec((16, BR),
+                               lambda c, b, f, la, n: (0, b[c]),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((BR, 16), jnp.float32)
                         for _ in range(N_ACC)]
@@ -295,23 +303,127 @@ def pallas_splat2_packed(plan: ScatterPlan, pay_a, pay_b, vol_shape,
     return pl.pallas_call(
         _make_kernel(),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nblk, BRQ, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((16, nblk * BR), jnp.float32),
         interpret=interpret,
     )(plan.blk, plan.first, plan.last, plan.cnt8, plan.loc, upd)
 
 
+def _interleave_mats(BXP: int):
+    """One-hot (BXP, 2*BXP) matrices: E routes lane k -> 2k, O -> 2k+1
+    (the MXU performs the x-interleave in the un-block kernel)."""
+    e = np.zeros((BXP, 2 * BXP), np.float32)
+    o = np.zeros((BXP, 2 * BXP), np.float32)
+    for k in range(BXP):
+        e[k, 2 * k] = 1.0
+        o[k, 2 * k + 1] = 1.0
+    return jnp.asarray(e), jnp.asarray(o)
+
+
+def _make_unblock_kernel(vol_shape):
+    from jax.experimental import pallas as pl
+
+    zs, ys, xs = vol_shape
+    Bz, By, Bx, BXP = block_dims(vol_shape)
+
+    def kernel(par_ref, in_ref, e_ref, o_ref, out_ref):
+        g = pl.program_id(0)
+        par = par_ref[g]
+        e, o = e_ref[...], o_ref[...]
+        for cw in range(2):
+            for pay in range(2):
+                rows = []
+                for cv in range(2):
+                    a0 = in_ref[((cw * 2 + cv) * 2 + 0) * 2 + pay, 0]
+                    a1 = in_ref[((cw * 2 + cv) * 2 + 1) * 2 + pay, 0]
+                    # (By, BXP) -> (By, 2BXP) x-interleave on the MXU
+                    rows.append(
+                        jax.lax.dot(a0, e,
+                                    precision=jax.lax.Precision.HIGHEST)
+                        + jax.lax.dot(a1, o,
+                                      precision=jax.lax.Precision.HIGHEST))
+                # y-interleave (By, 2cv, 2BXP) -> (2By, 2BXP): LEADING
+                # dims merge (minor-dim shape casts are unsupported)
+                p = jnp.stack(rows, axis=1).reshape(2 * By, 2 * BXP)
+                # static per-parity (syp, sxp) shift (in-kernel
+                # dynamic_slice of a value is not implemented)
+                for sy in range(2):
+                    for sx in range(2):
+                        @pl.when((((par >> 1) & 1) == sy)
+                                 & ((par & 1) == sx))
+                        def _(p=p, cw=cw, pay=pay, sy=sy, sx=sx):
+                            out_ref[0, cw, pay, :, :] = \
+                                p[sy:sy + ys, sx:sx + xs]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("vol_shape", "n_stacks"))
+def pallas_unblock(acc_vm, vol_shape, n_stacks: int):
+    """Un-block the VAL-MAJOR accumulator: (16, R) -> (S, 2, zs, ys, xs).
+
+    One grid step per (s, par, bz) bz-plane; per-parity partial dense
+    tiles are written without output revisits (for fixed parity each
+    output z belongs to exactly one bz) and XLA sums the 8 shifted
+    partials.  Measured 54.6 ms vs 297 ms for the XLA transpose chain at
+    the canonical shape (bitwise exact)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    zs, ys, xs = vol_shape
+    Bz, By, Bx, BXP = block_dims(vol_shape)
+    nrows = acc_rows(vol_shape, n_stacks)
+    nplanes = n_stacks * 8 * Bz
+    planes = acc_vm[:, :nrows].reshape(16, nplanes, By, BXP)
+    par_of = (jnp.arange(nplanes, dtype=jnp.int32) // Bz) % 8
+    e, o = _interleave_mats(BXP)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nplanes,),
+        in_specs=[
+            pl.BlockSpec((16, 1, By, BXP), lambda g, p: (0, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BXP, 2 * BXP), lambda g, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BXP, 2 * BXP), lambda g, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 2, ys, xs),
+                               lambda g, p: (g, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    interpret = jax.default_backend() == "cpu"
+    partials = pl.pallas_call(
+        _make_unblock_kernel(vol_shape),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nplanes, 2, 2, ys, xs),
+                                       jnp.float32),
+        interpret=interpret,
+    )(par_of, planes, e, o)
+    # partials[(s,par,bz), cw, pay] covers out z = 2bz + cw - szp
+    partials = partials.reshape(n_stacks, 8, Bz, 2, 2, ys, xs)
+    partials = partials.transpose(0, 1, 4, 2, 3, 5, 6).reshape(
+        n_stacks, 8, 2, 2 * Bz, ys, xs)
+    out = jnp.zeros((n_stacks, 2, zs, ys, xs), jnp.float32)
+    for par in range(8):
+        szp = (par >> 2) & 1
+        out = out + jax.lax.dynamic_slice(
+            partials[:, par], (0, 0, szp, 0, 0),
+            (n_stacks, 2, zs, ys, xs))
+    return out
+
+
 def pallas_splat2_blocked(plan: ScatterPlan, pay_a, pay_b, vol_shape,
                           n_stacks: int):
-    """Drop-in replacement for psf_fast._splat2_blocked using the plan.
+    """Logical-blocked view of the kernel result (TESTS ONLY — the
+    production path consumes pallas_splat2_packed via pallas_unblock).
 
-    pay_a/pay_b: (N, H, W) payloads (already gated/zeroed at invalid
-    pixels).  Returns the (n_stacks, 8, Bz, By, Bx, 2, 2, 2, 2) blocked
+    Returns the (n_stacks, 8, Bz, By, Bx, 2, 2, 2, 2) blocked
     accumulator, numerically equal to the XLA path (same adds, sorted
-    order).
-    """
-    zs, ys, xs = vol_shape
-    Bz, By, Bx = (zs + 3) // 2, (ys + 3) // 2, (xs + 3) // 2
+    order)."""
+    Bz, By, Bx, BXP = block_dims(vol_shape)
     nrows = acc_rows(vol_shape, n_stacks)
-    packed = pallas_splat2_packed(plan, pay_a, pay_b, vol_shape, n_stacks)
-    acc = _unpack_acc(packed, nrows)
-    return acc.reshape(n_stacks, 8, Bz, By, Bx, 2, 2, 2, 2)
+    vm = pallas_splat2_packed(plan, pay_a, pay_b, vol_shape, n_stacks)
+    acc = vm[:, :nrows].reshape(16, n_stacks, 8, Bz, By, BXP)[..., :Bx]
+    return jnp.moveaxis(acc, 0, -1).reshape(
+        n_stacks, 8, Bz, By, Bx, 2, 2, 2, 2)

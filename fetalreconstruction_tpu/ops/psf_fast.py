@@ -478,15 +478,19 @@ def fast_scatter2(fast: FastPSF, geom: FastGeom, pay_a, pay_b, mask,
     b = pay_b * inv
     S = len(fast.terms)
     if geom.plan is not None:
-        from .pallas_scatter import pallas_splat2_blocked
-        blocked = pallas_splat2_blocked(geom.plan, a, b, tuple(vol_shape),
-                                        S)
+        # Pallas path: accumulate (val-major) + un-block kernel — the
+        # dense per-stack volumes come straight out of the kernels (the
+        # XLA transpose-chain un-block measured 295 ms vs 55 ms here)
+        from .pallas_scatter import pallas_splat2_packed, pallas_unblock
+        vm = pallas_splat2_packed(geom.plan, a, b, tuple(vol_shape), S)
+        dense = pallas_unblock(vm, tuple(vol_shape), S)  # (S,2,zs,ys,xs)
+        per_stack = [(dense[s, 0], dense[s, 1]) for s in range(S)]
     else:
         blocked = _splat2_blocked(geom.xp, a, b, vol_shape, sid=geom.sid,
                                   n_stacks=S)
+        per_stack = [_unblock2(blocked[s], vol_shape) for s in range(S)]
     out = jnp.zeros((2,) + tuple(vol_shape), jnp.float32)
-    for s, terms in enumerate(fast.terms):
-        sa, sb = _unblock2(blocked[s], vol_shape)
+    for (sa, sb), terms in zip(per_stack, fast.terms):
         # batch both payload fields through one conv pass (axes shift by 1)
         both = jnp.stack([sa, sb])
         acc = jnp.zeros_like(both)

@@ -53,10 +53,10 @@ class FastGeom(NamedTuple):
            kernel/table; replaces the round-1 per-stack lo:hi slicing so
            the slice axis shards cleanly (every per-slice op is elementwise
            in sid; all per-STACK work is volume-space and replicated)
-    cmask: (S*R, 8) f32  row-concatenated per-stack corner SHINGLEs
+    cmask: (8, S*R) f32  corner-major per-stack SHINGLE table
            (make_shingle) of conv(mask) — mask is constant per run, so
            these tables are cached at geometry build and reused by every
-           simulate call; row r of stack s lives at s*R + r
+           simulate call; position r of stack s lives at column s*R + r
     plan:  optional pallas_scatter.ScatterPlan — the sorted-stream
            schedule for the Pallas TPU scatter kernel (None = XLA
            scatter).  Rebuilt with the geometry; all-array pytree.
@@ -185,19 +185,20 @@ def conv_separable(vol, terms, flip: bool = False):
 
 
 def make_shingle(vols):
-    """Stack volumes into a corner-shingled table for fast gathers.
+    """Stack volumes into a CORNER-MAJOR shingled table for fast gathers.
 
     vols: sequence of P [z,y,x] arrays (same shape).  Returns
-    ((zs+1)(ys+1)(xs+1), 8*P) f32 where row r = voxel (z,y,x) with a ONE
-    VOXEL FRONT HALO (row index = ((z+1)(ys+1) + y+1)(xs+1) + x+1, so
-    floor index -1 is a valid row) holding, for each volume, the 2x2x2
-    corner window starting at that voxel; zero outside the volume on both
-    sides.  One width-8P row gather then replaces 8P scalar takes per
-    sample — the XLA TPU row-gather fast path is ~7x faster than eight
-    width-1 takes (measured on v5e: 28M takes 0.22s vs 3.5M width-16 rows
-    0.03s).
+    (8*P, (zs+1)(ys+1)(xs+1)) f32: row p*8+c holds, flattened over the
+    one-voxel-front-halo grid (position index = ((z+1)(ys+1) + y+1)
+    (xs+1) + x+1, so floor index -1 is valid), corner c of volume p's
+    2x2x2 window starting at that voxel; zero outside the volume.
+
+    Corner-major keeps the minor dim large (zero (8,128) tiling padding
+    — the former (R, 8P) layout lane-padded 8-16x) and one axis-1
+    jnp.take fetches all 8P corner values per sample (round-3
+    measurement: 91 ms vs 129 ms for the row-gather at the canonical
+    simulate shape, with the table build cost dropping into the noise).
     """
-    zs, ys, xs = vols[0].shape
     cols = []
     for vol in vols:
         for cw in (0, 1):
@@ -208,7 +209,7 @@ def make_shingle(vols):
                     sh = jnp.pad(vol, ((1 - cw, cw), (1 - cv, cv),
                                        (1 - cu, cu)))
                     cols.append(sh.reshape(-1))
-    return jnp.stack(cols, axis=-1)
+    return jnp.stack(cols, axis=0)
 
 
 def _corner_weights(xp):
@@ -239,13 +240,12 @@ def shingle_rows(vol_shape) -> int:
 def shingle_gather(shingle, xp, vol_shape, n_vols=1, sid=None):
     """Trilinear sample from a make_shingle table at (..., 3) (x,y,z).
 
-    sid (optional): per-SLICE stack index, shaped broadcastable to
-    xp.shape[:-1] leading axis — when given, `shingle` is a row-stacked
-    (S*R, C) multi-stack table and each sample reads from its own stack's
-    block (row s*R + lin).  Returns a tuple of n_vols arrays shaped
-    xp.shape[:-1].  Exactly equivalent to per-corner masked takes (partial
-    sums at the volume boundary included — the halo rows carry the correct
-    mixed in/out-of-bounds windows).
+    shingle: (8*n_vols, S*R) corner-major table (column-stacked per
+    stack when sid is given — each sample reads column s*R + lin of its
+    own stack's span).  Returns a tuple of n_vols arrays shaped
+    xp.shape[:-1].  Exactly equivalent to per-corner masked takes
+    (partial sums at the volume boundary included — the halo positions
+    carry the correct mixed in/out-of-bounds windows).
     """
     zs, ys, xs = vol_shape
     R = shingle_rows(vol_shape)
@@ -258,12 +258,13 @@ def shingle_gather(shingle, xp, vol_shape, n_vols=1, sid=None):
         nd = lin.ndim - 1  # broadcast (N,) over the trailing (H, W) dims
         lin = lin + sid.astype(jnp.int32).reshape(
             sid.shape + (1,) * nd) * R
-    rows = jnp.take(shingle, lin.reshape(-1), axis=0)
-    rows = rows.reshape(lin.shape + (shingle.shape[-1],))
+    cols = jnp.take(shingle, lin.reshape(-1), axis=1)  # (8*n_vols, Npix)
     outs = []
     for p in range(n_vols):
-        vals = rows[..., 8 * p:8 * (p + 1)]
-        outs.append(jnp.where(inb, jnp.sum(vals * wts, axis=-1), 0.0))
+        acc = jnp.zeros(lin.shape, jnp.float32)
+        for c in range(8):
+            acc = acc + cols[8 * p + c].reshape(lin.shape) * wts[..., c]
+        outs.append(jnp.where(inb, acc, 0.0))
     return tuple(outs)
 
 
@@ -423,11 +424,14 @@ def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape, mask=None,
     if mask is None:
         mask = ones
     mask = mask.reshape(vol_shape)
-    # per-stack conv volumes, row-stacked into single gather tables
+    # per-stack conv volumes, column-stacked into single corner-major
+    # gather tables (8, S*R)
     ones_tab = jnp.concatenate(
-        [make_shingle([conv_separable(ones, t)]) for t in fast.terms])
+        [make_shingle([conv_separable(ones, t)]) for t in fast.terms],
+        axis=1)
     cmask = jnp.concatenate(
-        [make_shingle([conv_separable(mask, t)]) for t in fast.terms])
+        [make_shingle([conv_separable(mask, t)]) for t in fast.terms],
+        axis=1)
     (sume,) = shingle_gather(ones_tab, xp, vol_shape, 1, sid=sid)
     sume = jnp.where(valid & (sume > 0.5), sume, 0.0)
     plan = None
@@ -450,8 +454,9 @@ def fast_simulate(fast: FastPSF, geom: FastGeom, vol, mask, vol_shape):
     # per-call concat) measured slightly SLOWER (0.202 vs 0.180 s
     # simulate), so the fused table stays
     num_tab = jnp.concatenate(
-        [make_shingle([conv_separable(vm, t)]) for t in fast.terms])
-    table = jnp.concatenate([num_tab, geom.cmask], axis=-1)
+        [make_shingle([conv_separable(vm, t)]) for t in fast.terms],
+        axis=1)
+    table = jnp.concatenate([num_tab, geom.cmask], axis=0)  # (16, S*R)
     num, den = shingle_gather(table, geom.xp, vol_shape, 2, sid=geom.sid)
     sim = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
     gate = (geom.sume > 0.0) & geom.valid

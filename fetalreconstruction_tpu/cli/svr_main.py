@@ -165,6 +165,15 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     if args.distributed:
+        if args.mesh_mode == "volume":
+            # volume z-slab state is placed with jax.device_put onto the
+            # whole mesh, which requires every device to be addressable
+            # by this process — unsupported across hosts; use the
+            # slice-DP mode (or the 2D grid mode) for multi-host runs
+            raise SystemExit(
+                "--distributed is not supported with --mesh-mode volume "
+                "(z-slab placement spans non-addressable devices); use "
+                "--mesh-mode slices")
         import jax
         jax.distributed.initialize()
 

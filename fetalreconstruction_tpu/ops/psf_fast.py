@@ -365,8 +365,11 @@ class FastPSF:
         # XLA path; CPU always uses XLA (the kernel would run in the slow
         # interpreter).
         if pallas is None:
+            # TPU only: the Mosaic kernel (pltpu.PrefetchScalarGridSpec,
+            # interpret=False) cannot lower on CUDA/ROCm; GPU and CPU
+            # backends fall back to the XLA width-16 row scatter
             pallas = (os.environ.get("FETALRECON_PALLAS", "1") != "0"
-                      and jax.default_backend() != "cpu")
+                      and jax.default_backend() == "tpu")
         self.pallas = bool(pallas)
         self.terms = []
         for a3, dims in zip(stack_a3, stack_dims):

@@ -343,10 +343,18 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     if manual_img is not None and tmpl == 0:
         manual_img = crop_image(manual_img, m_tmpl)
     recon_attr = create_template(stacks[tmpl], cfg.resolution)
+    out_attr, vol_pad_z = recon_attr, 0
     if mesh is not None and mesh_mode == "volume":
-        # z-slab sharding needs the grid z to divide the mesh
+        # z-slab sharding needs the grid z to divide the mesh; the pad
+        # slabs are cropped back off every output image so the result
+        # matches the single-device run voxel-for-voxel
         from ..parallel.volume_sharded import pad_attr_z
-        recon_attr, _ = pad_attr_z(recon_attr, mesh.devices.size)
+        out_attr = recon_attr.copy()
+        recon_attr, vol_pad_z = pad_attr_z(recon_attr, mesh.devices.size)
+
+    def _crop_pad_z(data):
+        """Drop the mesh-padding z-slabs (added at the high end)."""
+        return data[:data.shape[0] - vol_pad_z] if vol_pad_z else data
     recon_mask_img = set_mask(mask, recon_attr, cfg.smooth_mask)
     stats.sample("template+mask")
 
@@ -803,7 +811,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         mvol = transform_manual_mask(ctx, geom, sume,
                                      jnp.asarray(mslices), valid0,
                                      mask_flat)
-        manual_vol = Image(np.asarray(mvol), recon_attr.copy())
+        manual_vol = Image(_crop_pad_z(np.asarray(mvol)), out_attr.copy())
         stats.sample("manual mask transform")
 
     # --bspline: alternative smooth reconstruction by multi-level B-spline
@@ -825,10 +833,11 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         bvol = bspline_reconstruct(pos[keep], np.asarray(restored)[keep],
                                    recon_attr.shape_zyx)
         bvol = jnp.where(mask_j != 0, bvol, 0.0)
-        bspline_vol = Image(np.asarray(bvol), recon_attr.copy())
+        bspline_vol = Image(_crop_pad_z(np.asarray(bvol)),
+                            out_attr.copy())
         stats.sample("bspline reconstruction")
 
-    out = Image(np.asarray(recon), recon_attr.copy())
+    out = Image(_crop_pad_z(np.asarray(recon)), out_attr.copy())
     return SVRResult(reconstructed=out, transforms=transforms,
                      slice_weights=np.asarray(em.slice_weight),
                      stack_factors=stack_factors, stats=stats,

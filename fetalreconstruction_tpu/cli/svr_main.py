@@ -93,12 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="Shard the slice batch over the first N devices "
                         "(0 = all devices if more than one, else single)")
-    p.add_argument("--mesh-mode", choices=("slices", "volume"),
+    p.add_argument("--mesh-mode", choices=("slices", "volume", "grid"),
                    default="slices",
                    help="'slices': data-parallel slice sharding "
                         "(replicated volume); 'volume': z-slab volume "
                         "sharding for large-area runs "
-                        "(parallel/volume_sharded.py)")
+                        "(parallel/volume_sharded.py); 'grid': 2-D "
+                        "slice-DP x z-slab composition "
+                        "(parallel/mesh2d.py)")
     p.add_argument("--distributed", action="store_true",
                    help="Multi-host: call jax.distributed.initialize() "
                         "before device discovery (set JAX coordinator env "
@@ -124,6 +126,11 @@ def make_mesh(n: int, mode: str = "slices"):
         n = len(devs)
     if n <= 1:
         return None
+    if mode == "grid":
+        # 2-D slice-DP x vol_z mesh (parallel/mesh2d.py)
+        from ..parallel.mesh2d import grid_shape, make_mesh2d
+        s, v = grid_shape(n)
+        return make_mesh2d(s, v, devs[:n])
     axis = "vol_z" if mode == "volume" else "slices"
     return Mesh(np.asarray(devs[:n]), (axis,))
 
@@ -165,15 +172,15 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     if args.distributed:
-        if args.mesh_mode == "volume":
+        if args.mesh_mode in ("volume", "grid"):
             # volume z-slab state is placed with jax.device_put onto the
             # whole mesh, which requires every device to be addressable
             # by this process — unsupported across hosts; use the
             # slice-DP mode (or the 2D grid mode) for multi-host runs
             raise SystemExit(
-                "--distributed is not supported with --mesh-mode volume "
-                "(z-slab placement spans non-addressable devices); use "
-                "--mesh-mode slices")
+                "--distributed is not supported with --mesh-mode "
+                f"{args.mesh_mode} (z-slab placement spans "
+                "non-addressable devices); use --mesh-mode slices")
         import jax
         jax.distributed.initialize()
 

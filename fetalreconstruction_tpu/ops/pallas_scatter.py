@@ -56,7 +56,15 @@ import jax.numpy as jnp
 import numpy as np
 
 CHUNK = 2048        # pixel rows per grid step
-BR = 8192           # accumulator rows per VMEM block
+BR = 16384          # accumulator rows per VMEM block (round-4: raised
+                    # from 8192 — with ~2256 blocks most blocks held
+                    # fewer rows than one CHUNK, so the chunk schedule
+                    # padded the slot stream to 2.33x the pixel count;
+                    # at 16384 the stream is ~1.66x with ~30% fewer
+                    # half-empty chunks.  32768 was tried and the kernel
+                    # exceeded the 16 MB scoped-vmem limit by 1 MB
+                    # (Mosaic's buffering of the 2 MB out block + 2 MB
+                    # acc scratch) — 16384 compiles with headroom)
 
 
 class ScatterPlan(NamedTuple):
@@ -143,9 +151,15 @@ def build_scatter_plan(xp, sid, vol_shape, n_stacks) -> ScatterPlan:
 
     Runs under jit at geometry-build time; every output shape depends
     only on static inputs (pixel count, vol_shape, n_stacks).
+
+    (Round-4 measurement: the 3.5 M argsort itself is 11 ms on v5e —
+    the round-3 "506 ms plan rebuild" was NOT the sort but the
+    downstream slot gathers; a block-partition counting sort was built,
+    measured SLOWER (148 ms), and removed.  See BASELINE.md.)
     """
     row, wts, nrows = _row_ids(xp, sid, vol_shape, n_stacks)
     n = row.shape[0]
+    np_ = n
     nchunk, L, nblk = plan_sizes(n, nrows)
 
     perm = jnp.argsort(row)
@@ -182,17 +196,44 @@ def build_scatter_plan(xp, sid, vol_shape, n_stacks) -> ScatterPlan:
                     jnp.clip(e_blk[blk_of_chunk] - start, 0, CHUNK))
     cnt8 = (cnt + 7) // 8
 
-    # padded slot -> sorted index
-    slot_chunk = jnp.arange(L, dtype=jnp.int32) // CHUNK
-    slot_off = jnp.arange(L, dtype=jnp.int32) % CHUNK
-    slot_valid = slot_off < cnt[slot_chunk]
-    sidx = jnp.clip(start[slot_chunk] + slot_off, 0, n - 1)
-    loc = rows_sorted[sidx] - blk_of_chunk[slot_chunk] * BR
-    loc = jnp.clip(loc, 0, BR - 1)
-    pperm = perm[sidx]
-    # (L, 8) gather fused into the (8, L) transpose output — pad slots
-    # zeroed so the kernel's 8-wide unroll is add-of-zero past `cnt`
-    wtsT = jnp.where(slot_valid[None, :], wts[pperm].T, 0.0)
+    # ---- slot expansion: chunk-major, so per-CHUNK values broadcast
+    # (reshape) instead of gathering with L indices, and the sorted
+    # (row, pixel, weightsx8) stream is packed into ONE (n, 10) f32
+    # table read by a single L-index gather.  Round-4 chip finding: TPU
+    # gathers cost ~5-9 ns PER INDEX almost independently of row width
+    # — the former three separate L-gathers (start/cnt via slot_chunk,
+    # rows_sorted[sidx], perm[sidx]) plus the (L, 8) weight gather were
+    # ~340 ms of the round-3 "506 ms plan rebuild"; packing makes the
+    # whole expansion one gather (~45 ms at canonical shape).
+    slot_off = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    slot_valid = (slot_off < cnt[:, None]).reshape(-1)
+    bc = jax.lax.bitcast_convert_type
+    # stream-major (10, n): minor dim n keeps the table padding-free
+    packed = jnp.concatenate(
+        [bc(rows_sorted.astype(jnp.int32), jnp.float32)[None],
+         bc(perm.astype(jnp.int32), jnp.float32)[None],
+         wts[perm].T], axis=0)                               # (10, n)
+    # Each chunk's slots are CONTIGUOUS sorted indices [start, start +
+    # CHUNK) — so the expansion is ~nchunk bulk slice-copies, not a
+    # random gather.  vmap(dynamic_slice) lowers to an XLA gather with
+    # slice_sizes (10, CHUNK): per-INDEX bulk DMA instead of the ~6-9 ns
+    # per-element cost of element gathers (round-4 chip finding — three
+    # element-wise L-gathers were ~340 ms of the round-3 "506 ms plan
+    # rebuild"; this form measures in the tens of ms).
+    # zero-pad by CHUNK columns so end-of-stream slices stay in-bounds
+    # (pad slots then decode to loc 0 / pperm 0 / weight 0 — inert)
+    packed = jnp.pad(packed, ((0, 0), (0, CHUNK)))
+    vals = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(packed, (0, s), (10, CHUNK))
+    )(start)                                                 # (nchunk,10,CHUNK)
+    vals = vals.transpose(1, 0, 2).reshape(10, L)
+    blk_slot = jnp.broadcast_to(blk_of_chunk[:, None],
+                                (nchunk, CHUNK)).reshape(-1)
+    loc = jnp.clip(bc(vals[0], jnp.int32) - blk_slot * BR, 0, BR - 1)
+    pperm = bc(vals[1], jnp.int32)
+    # pad slots zeroed so the kernel's 8-wide unroll is add-of-zero
+    # past `cnt`
+    wtsT = jnp.where(slot_valid[None, :], vals[2:], 0.0)
     return ScatterPlan(pperm=pperm.astype(jnp.int32),
                        loc=loc.astype(jnp.int32), wtsT=wtsT,
                        blk=blk_of_chunk.astype(jnp.int32),

@@ -53,10 +53,14 @@ class FastGeom(NamedTuple):
            kernel/table; replaces the round-1 per-stack lo:hi slicing so
            the slice axis shards cleanly (every per-slice op is elementwise
            in sid; all per-STACK work is volume-space and replicated)
-    cmask: (8, S*R) f32  corner-major per-stack SHINGLE table
-           (make_shingle) of conv(mask) — mask is constant per run, so
-           these tables are cached at geometry build and reused by every
-           simulate call; position r of stack s lives at column s*R + r
+    den:   (N, H, W)   f32   cached (conv(mask))(xp) — mask AND xp are
+           constant between geometry rebuilds, so the simulate
+           denominator is gathered ONCE here instead of per call (round-4
+           chip profile: the fused 16-row num+den gather cost 118 ms per
+           simulate; caching den halves the per-call gather to the 8
+           num rows, and replaces the round-3 (8, S*R) cmask table —
+           ~0.5 GB at canonical shape — with an (N, H, W) per-slice
+           array that also shards over the slice axis)
     plan:  optional pallas_scatter.ScatterPlan — the sorted-stream
            schedule for the Pallas TPU scatter kernel (None = XLA
            scatter).  Rebuilt with the geometry; all-array pytree.
@@ -65,7 +69,7 @@ class FastGeom(NamedTuple):
     valid: jax.Array
     sume: jax.Array
     sid: jax.Array
-    cmask: jax.Array
+    den: jax.Array
     plan: object = None
 
 
@@ -158,8 +162,23 @@ def _conv1d_axis_adj(arr, taps: np.ndarray, axis: int):
     return out
 
 
+_MXU_CONV = os.environ.get("FETALRECON_MXU_CONV", "1") != "0"
+
+
+def _band_matrix(taps: np.ndarray, n: int, adjoint: bool = False):
+    """(n, n) banded matrix form of the zero-padded 1-D tap pass:
+    out = arr @ B applied along an axis of length n.
+
+    Built by running the tap pass over the identity, so the even-size
+    centre convention (tap (k-1)//2 is centre) is inherited exactly from
+    _conv1d_axis/_conv1d_axis_adj; the taps are compile-time constants,
+    so XLA folds the shifted-eye sum into a literal."""
+    fn = _conv1d_axis_adj if adjoint else _conv1d_axis
+    return fn(jnp.eye(n, dtype=jnp.float32), np.asarray(taps), 1)
+
+
 def conv_separable(vol, terms, flip: bool = False):
-    """Apply sum of separable triads to a [z,y,x] volume.
+    """Apply sum of separable triads to a (..., z, y, x) volume.
 
     The FULL kernel is centrally symmetric (psf(-mm) = psf(mm)) so the
     summed operator equals its own adjoint, but the individual SVD triads
@@ -169,17 +188,37 @@ def conv_separable(vol, terms, flip: bool = False):
 
     NOTE on even support: with an even kernel size the tap at index
     (k-1)//2 is treated as centre, so flipping also shifts by one — both
-    passes must agree on the convention, which flip=True provides."""
+    passes must agree on the convention, which flip=True provides.
+
+    Default path: each 1-D pass is a dot against an (n, n) banded matrix
+    — the MXU runs the whole pass as one matmul (measured v5e, canonical
+    4-stack shape: 27.7 ms vs 80.9 ms for the VPU shift-add chain, rel
+    err ~4e-7 at HIGHEST precision).  FETALRECON_MXU_CONV=0 restores the
+    shift-add path."""
+    if _MXU_CONV:
+        hi = jax.lax.Precision.HIGHEST
+        zs, ys, xs = vol.shape[-3:]
+        out = jnp.zeros_like(vol)
+        for kzv, kyv, kxv, c in terms:
+            t = jnp.einsum("...x,xw->...w", vol,
+                           _band_matrix(kxv, xs, flip), precision=hi)
+            t = jnp.einsum("...yx,yw->...wx", t,
+                           _band_matrix(kyv, ys, flip), precision=hi)
+            t = jnp.einsum("...zyx,zw->...wyx", t,
+                           _band_matrix(kzv, zs, flip), precision=hi)
+            out = out + c * t
+        return out
     out = jnp.zeros_like(vol)
+    nd = vol.ndim
     for kzv, kyv, kxv, c in terms:
         if flip:
-            t = _conv1d_axis_adj(vol, kxv, axis=2)
-            t = _conv1d_axis_adj(t, kyv, axis=1)
-            t = _conv1d_axis_adj(t, kzv, axis=0)
+            t = _conv1d_axis_adj(vol, kxv, axis=nd - 1)
+            t = _conv1d_axis_adj(t, kyv, axis=nd - 2)
+            t = _conv1d_axis_adj(t, kzv, axis=nd - 3)
         else:
-            t = _conv1d_axis(vol, kxv, axis=2)
-            t = _conv1d_axis(t, kyv, axis=1)
-            t = _conv1d_axis(t, kzv, axis=0)
+            t = _conv1d_axis(vol, kxv, axis=nd - 1)
+            t = _conv1d_axis(t, kyv, axis=nd - 2)
+            t = _conv1d_axis(t, kzv, axis=nd - 3)
         out = out + c * t
     return out
 
@@ -427,40 +466,41 @@ def make_fast_geom(fast: FastPSF, fwd, valid, vol_shape, mask=None,
     if mask is None:
         mask = ones
     mask = mask.reshape(vol_shape)
-    # per-stack conv volumes, column-stacked into single corner-major
-    # gather tables (8, S*R)
-    ones_tab = jnp.concatenate(
-        [make_shingle([conv_separable(ones, t)]) for t in fast.terms],
-        axis=1)
-    cmask = jnp.concatenate(
-        [make_shingle([conv_separable(mask, t)]) for t in fast.terms],
-        axis=1)
-    (sume,) = shingle_gather(ones_tab, xp, vol_shape, 1, sid=sid)
+    # per-stack conv(1) and conv(mask) volumes, column-stacked into ONE
+    # fused corner-major table (16, S*R) and gathered once: both sume
+    # and the simulate denominator den are geometry constants (the
+    # tables themselves are NOT kept — simulate only rebuilds/gathers
+    # the conv(vol*mask) numerator per call)
+    tab = jnp.concatenate(
+        [jnp.concatenate([make_shingle([conv_separable(ones, t)])
+                          for t in fast.terms], axis=1),
+         jnp.concatenate([make_shingle([conv_separable(mask, t)])
+                          for t in fast.terms], axis=1)], axis=0)
+    sume, den = shingle_gather(tab, xp, vol_shape, 2, sid=sid)
     sume = jnp.where(valid & (sume > 0.5), sume, 0.0)
     plan = None
     if getattr(fast, "pallas", False):
         from .pallas_scatter import build_scatter_plan
         plan = build_scatter_plan.__wrapped__(
             xp, sid, tuple(vol_shape), len(fast.terms))
-    return FastGeom(xp=xp, valid=valid, sume=sume, sid=sid, cmask=cmask,
+    return FastGeom(xp=xp, valid=valid, sume=sume, sid=sid, den=den,
                     plan=plan)
 
 
 def fast_simulate(fast: FastPSF, geom: FastGeom, vol, mask, vol_shape):
     """sim, simw, inside — fast analog of psf_gather.
 
-    conv(mask) comes from the geometry cache (mask constant per run)."""
+    The denominator (conv(mask))(xp) comes pre-GATHERED from the
+    geometry cache (geom.den: mask and xp are constant between geometry
+    rebuilds), so the per-call work is only the conv(vol*mask) numerator
+    table + one 8-row gather — half the round-3 fused 16-row gather
+    (chip profile 2026-08-21: gather was 118 ms of simulate's 187 ms)."""
     vm = vol * mask
-    # one width-16 row gather serves both numerator (conv(vol.mask),
-    # rebuilt per call) and denominator (cached conv(mask) table) —
-    # round-3 probe: splitting into two width-8 gathers (avoiding the
-    # per-call concat) measured slightly SLOWER (0.202 vs 0.180 s
-    # simulate), so the fused table stays
     num_tab = jnp.concatenate(
         [make_shingle([conv_separable(vm, t)]) for t in fast.terms],
         axis=1)
-    table = jnp.concatenate([num_tab, geom.cmask], axis=0)  # (16, S*R)
-    num, den = shingle_gather(table, geom.xp, vol_shape, 2, sid=geom.sid)
+    (num,) = shingle_gather(num_tab, geom.xp, vol_shape, 1, sid=geom.sid)
+    den = geom.den
     sim = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
     gate = (geom.sume > 0.0) & geom.valid
     inside = gate & (den > 0)
@@ -499,14 +539,7 @@ def fast_scatter2(fast: FastPSF, geom: FastGeom, pay_a, pay_b, mask,
         per_stack = [_unblock2(blocked[s], vol_shape) for s in range(S)]
     out = jnp.zeros((2,) + tuple(vol_shape), jnp.float32)
     for (sa, sb), terms in zip(per_stack, fast.terms):
-        # batch both payload fields through one conv pass (axes shift by 1)
-        both = jnp.stack([sa, sb])
-        acc = jnp.zeros_like(both)
-        for kzv, kyv, kxv, c in terms:
-            t = _conv1d_axis_adj(both, kxv, axis=3)
-            t = _conv1d_axis_adj(t, kyv, axis=2)
-            t = _conv1d_axis_adj(t, kzv, axis=1)
-            acc = acc + c * t
-        out = out + acc
+        # batch both payload fields through one adjoint conv pass
+        out = out + conv_separable(jnp.stack([sa, sb]), terms, flip=True)
     m = (mask != 0).astype(jnp.float32)
     return out[0] * m, out[1] * m

@@ -82,7 +82,7 @@ def geom_spec(ctx: svr_core.SVRContext):
                                     first=P(AXIS), last=P(AXIS),
                                     cnt8=P(AXIS))
         return psf_fast.FastGeom(xp=P(AXIS), valid=P(AXIS), sume=P(AXIS),
-                                 sid=P(AXIS), cmask=P(), plan=plan_spec)
+                                 sid=P(AXIS), den=P(AXIS), plan=plan_spec)
     return psf_ops.SliceGeom(centre=P(AXIS), frac=P(AXIS), a3=P(AXIS),
                              slice_dim=P(AXIS), valid=P(AXIS))
 

@@ -78,15 +78,16 @@ def pad_attr_z(attr, n_dev: int):
 class VSGeom(NamedTuple):
     """Volume-sharded fast-engine geometry (all leaves jnp arrays).
 
-    xp/valid/sume/sid are REPLICATED (identical on every device);
-    cmask_slab/ones_slab are (S, Lz, ys, xs) per-device z-slabs of the
-    per-stack conv(mask)/conv(1) volumes."""
+    xp/valid/sume/sid/den are REPLICATED (identical on every device):
+    the per-stack conv(1)/conv(mask) z-slabs are gathered ONCE at build
+    into sume and the simulate denominator den (both geometry constants
+    — mask and xp only change with a transform update), then dropped;
+    simulate only rebuilds/gathers the conv(vol*mask) numerator."""
     xp: jax.Array
     valid: jax.Array
     sume: jax.Array
     sid: jax.Array
-    cmask_slab: jax.Array
-    ones_slab: jax.Array
+    den: jax.Array
 
 
 def _halo_exchange_z(slab, h: int, axis_name: str):
@@ -143,17 +144,10 @@ def vs_conv_separable(slab, terms, axis_name: str, flip: bool = False):
     z pass sees neighbour values (zeros at the global edges)."""
     h = _conv_terms_radius(terms)
     ext = _halo_exchange_z(slab, h, axis_name)
-    out = jnp.zeros_like(ext)
-    for kzv, kyv, kxv, c in terms:
-        if flip:
-            t = pf._conv1d_axis_adj(ext, kxv, axis=ext.ndim - 1)
-            t = pf._conv1d_axis_adj(t, kyv, axis=ext.ndim - 2)
-            t = pf._conv1d_axis_adj(t, kzv, axis=ext.ndim - 3)
-        else:
-            t = pf._conv1d_axis(ext, kxv, axis=ext.ndim - 1)
-            t = pf._conv1d_axis(t, kyv, axis=ext.ndim - 2)
-            t = pf._conv1d_axis(t, kzv, axis=ext.ndim - 3)
-        out = out + c * t
+    # conv_separable operates on the last 3 axes and dispatches to the
+    # MXU banded-matmul path (the z matrix covers the halo-extended
+    # extent; zero-padded semantics match the replicated operator)
+    out = pf.conv_separable(ext, terms, flip=flip)
     if h:
         out = out[..., h:-h, :, :] if out.ndim == 4 else out[h:-h]
     return out
@@ -205,20 +199,24 @@ def vs_build_geometry(fast: pf.FastPSF, fwd, valid, vol_shape, mask_slab,
                            for t in fast.terms])
     cmask_slab = jnp.stack([vs_conv_separable(m, t, axis_name)
                             for t in fast.terms])
-    (sume,) = _vs_gather(ones_slab[None], xp, sid, vol_shape, axis_name)
+    sume, den = _vs_gather(jnp.stack([ones_slab, cmask_slab]), xp, sid,
+                           vol_shape, axis_name)
     sume = jnp.where(valid & (sume > 0.5), sume, 0.0)
-    return VSGeom(xp=xp, valid=valid, sume=sume, sid=sid,
-                  cmask_slab=cmask_slab, ones_slab=ones_slab)
+    return VSGeom(xp=xp, valid=valid, sume=sume, sid=sid, den=den)
 
 
 def vs_fast_simulate(fast: pf.FastPSF, geom: VSGeom, vol_slab, mask_slab,
                      vol_shape, axis_name: str):
-    """sim/simw/inside — replicated outputs from slab-sharded volumes."""
+    """sim/simw/inside — replicated outputs from slab-sharded volumes.
+
+    The denominator comes pre-gathered from geom.den (a geometry
+    constant); only the conv(vol*mask) numerator is gathered per call."""
     vm = vol_slab * mask_slab
     num_slab = jnp.stack([vs_conv_separable(vm, t, axis_name)
                           for t in fast.terms])
-    num, den = _vs_gather(jnp.stack([num_slab, geom.cmask_slab]),
-                          geom.xp, geom.sid, vol_shape, axis_name)
+    (num,) = _vs_gather(num_slab[None], geom.xp, geom.sid, vol_shape,
+                        axis_name)
+    den = geom.den
     sim = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
     gate = (geom.sume > 0.0) & geom.valid
     inside = gate & (den > 0)
@@ -342,8 +340,7 @@ def _vs_ctx_check(ctx: svr_core.SVRContext):
                                   "engine (ctx.fast)")
 
 
-GEOM_SPEC = VSGeom(xp=P(), valid=P(), sume=P(), sid=P(),
-                   cmask_slab=P(None, AXIS_V), ones_slab=P(None, AXIS_V))
+GEOM_SPEC = VSGeom(xp=P(), valid=P(), sume=P(), sid=P(), den=P())
 
 
 def _smap(fn, mesh, in_specs, out_specs):

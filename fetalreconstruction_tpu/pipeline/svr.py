@@ -261,6 +261,19 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     Requires the fast engine; NormaliseBias runs slab-wise with
     multi-hop blur halos (volume_sharded.vs_normalise_bias)."""
     stats = PerfStats()
+    # FETALRECON_SYNC_STATS=1: block on each stage's outputs before
+    # sampling, so the PerfStats table attributes DEVICE time to the
+    # stage that spent it (JAX dispatch is async; without this, device
+    # time lands on whichever later stage first converts to numpy).
+    # Off by default — the syncs serialize dispatch and slow real runs.
+    import os as _os
+    if _os.environ.get("FETALRECON_SYNC_STATS") == "1":
+        def _sync(*arrs):
+            for a in arrs:
+                jax.block_until_ready(a)
+    else:
+        def _sync(*arrs):
+            pass
 
     # ----- load inputs ----------------------------------------------------
     if stacks is None:
@@ -344,13 +357,15 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         manual_img = crop_image(manual_img, m_tmpl)
     recon_attr = create_template(stacks[tmpl], cfg.resolution)
     out_attr, vol_pad_z = recon_attr, 0
-    if mesh is not None and mesh_mode == "volume":
-        # z-slab sharding needs the grid z to divide the mesh; the pad
-        # slabs are cropped back off every output image so the result
-        # matches the single-device run voxel-for-voxel
+    if mesh is not None and mesh_mode in ("volume", "grid"):
+        # z-slab sharding needs the grid z to divide the vol_z mesh
+        # axis; the pad slabs are cropped back off every output image so
+        # the result matches the single-device run voxel-for-voxel
         from ..parallel.volume_sharded import pad_attr_z
         out_attr = recon_attr.copy()
-        recon_attr, vol_pad_z = pad_attr_z(recon_attr, mesh.devices.size)
+        n_vz = (dict(zip(mesh.axis_names, mesh.devices.shape))["vol_z"]
+                if mesh_mode == "grid" else mesh.devices.size)
+        recon_attr, vol_pad_z = pad_attr_z(recon_attr, n_vz)
 
     def _crop_pad_z(data):
         """Drop the mesh-padding z-slabs (added at the high end)."""
@@ -451,10 +466,12 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         low_intensity_cutoff=cfg.low_intensity_cutoff,
         fast=fast)
 
-    if mesh is not None and mesh_mode == "slices":
+    if mesh is not None and mesh_mode in ("slices", "grid"):
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.sharded import pad_slices_for_mesh
-        n_dev = mesh.devices.size
+        n_dev = (dict(zip(mesh.axis_names,
+                          mesh.devices.shape))["slices"]
+                 if mesh_mode == "grid" else mesh.devices.size)
         n_pad = pad_slices_for_mesh(batch.n_slices, n_dev)
         if n_pad > batch.n_slices:
             extra = n_pad - batch.n_slices
@@ -489,7 +506,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     stack_id_j = place(jnp.asarray(batch.stack_index, jnp.int32))
     recon_w2i_j = jnp.asarray(recon_attr.w2i(), jnp.float32)
     mask_j = jnp.asarray(recon_mask_img.data)
-    if mesh is not None and mesh_mode == "volume":
+    if mesh is not None and mesh_mode in ("volume", "grid"):
         from jax.sharding import NamedSharding, PartitionSpec as P
         mask_j = jax.device_put(
             mask_j, NamedSharding(mesh, P("vol_z")))
@@ -507,8 +524,11 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         transforms = read_transformations(cfg.tfolder, n)
 
     reg_targets = None
+    # --useNMI switches the s2v similarity too (the reference's
+    # GuessParameterSliceToVolume(useNMI) path)
     reg_cfg = s2v.SliceRegConfig(levels=cfg.reg_levels,
-                                 iterations=cfg.reg_iterations)
+                                 iterations=cfg.reg_iterations,
+                                 metric="nmi" if cfg.use_nmi else "ncc")
     do_bias = (cfg.intensity_matching
                and not cfg.disable_bias_correction and cfg.sigma > 0)
     do_nbias = do_bias and not cfg.global_bias_correction
@@ -518,7 +538,45 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     # parallel/volume_sharded.py for z-slab volume sharding) — the same
     # programs the multi-chip dryrun and the CPU-mesh equality tests
     # validate; without one, the plain jitted svr_core graph
-    if mesh is not None and mesh_mode == "volume":
+    if mesh is not None and mesh_mode == "grid":
+        from ..parallel import mesh2d as g2
+        if ctx.fast is None:
+            raise ValueError("mesh_mode='grid' requires engine='fast'")
+        _g2_geom = g2.g2_build_geometry_fn(ctx, mesh)
+        _g2_gauss = g2.g2_gaussian_reconstruction_fn(ctx, mesh)
+        _g2_sim = g2.g2_simulate_fn(ctx, mesh)
+        _g2_irs = g2.g2_initialize_robust_statistics_fn(ctx, mesh)
+        _g2_estep = g2.g2_estep_fn(ctx, mesh)
+        _g2_inner = g2.g2_inner_iteration_fn(
+            ctx, mesh, do_bias=do_bias, do_scale=cfg.intensity_matching,
+            do_normalise_bias=do_nbias)
+        _g2_reg = g2.g2_register_slices_fn(reg_cfg, mesh, recon_attr.dx)
+
+        def _geom_fn(rw2i, t, i2w, dims, v, mf, sid):
+            g = _g2_geom(rw2i, t, i2w, v, mask_j, sid)
+            return g, g.sume
+
+        def _gauss_fn(s, v, geom, sume, b, sc, mf):
+            return _g2_gauss(s, v, geom, b, sc, mask_j)
+
+        def _sim_fn(geom, sume, rec, mf):
+            return _g2_sim(geom, rec, mask_j)
+
+        def _irs_fn(s, v, ss, em_, mx, mn, ex):
+            return _g2_irs(s, v, ss, em_, jnp.float32(mx),
+                           jnp.float32(mn), ex)
+
+        def _estep_fn(s, v, sume, ss, em_, ex):
+            return _g2_estep(s, v, sume, ss, em_, ex)
+
+        def _inner_fn(geom, sume, s, v, em_, ss, rec, vw, m, mf, ex, a,
+                      lm, mn, mx, it_):
+            return _g2_inner(geom, s, v, em_, ss, rec, vw, mask_j, ex, a,
+                             lm, mn, mx, it_)
+
+        def _reg_fn(rec, rw2i, t, mo, ofs, tg):
+            return _g2_reg(rec, rw2i, t, mo, ofs, tg)
+    elif mesh is not None and mesh_mode == "volume":
         from ..parallel import volume_sharded as vsd
         if ctx.fast is None:
             raise ValueError("mesh_mode='volume' requires engine='fast'")
@@ -686,6 +744,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                                                      jnp.float32)),
                                    reg_mo, reg_ofs, reg_targets)
                 transforms = np.asarray(new_t, np.float64)
+            _sync()
             stats.sample("registration")
 
         # smoothing schedule (reconstruction.cc:893-911); lambda persists
@@ -713,6 +772,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         em = svr_core.init_em_state(n, valid)
         recon, vol_weights, voxel_count = _gauss_fn(
             slices_j, valid, geom, sume, em.bias, em.scale, mask_flat)
+        _sync(recon, vol_weights)
         stats.sample("gaussian reconstruction")
 
         # exclude slices with small ROI overlap (GaussianReconstructionGPU)
@@ -725,6 +785,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         em = _irs_fn(slices_j, valid, sim_state, em, max_i, min_i,
                      excluded)
         em, _ = _estep_fn(slices_j, valid, sume, sim_state, em, excluded)
+        _sync(em.weights)
         stats.sample("simulate+estep")
 
         for sr_it in range(rec_iterations):
@@ -733,6 +794,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                 vol_weights, mask_j, mask_flat, excluded,
                 jnp.float32(alpha), jnp.float32(lam), jnp.float32(min_i),
                 jnp.float32(max_i), jnp.int32(sr_it + 1))
+        _sync(recon)
         stats.sample("superresolution loop")
 
         recon = mask_volume(recon, mask_j)

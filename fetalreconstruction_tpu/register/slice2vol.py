@@ -67,6 +67,12 @@ class SliceRegConfig:
     step0: float = 2.0          # _LengthOfSteps[l] = step0 * 2^l
     max_linesearch: int = 16
     through_plane_offsets: Tuple[int, ...] = (-1, 0, 1)  # x2 voxels in z
+    # similarity: "ncc" (reference GPU path) or "nmi" (the CPU
+    # GuessParameterSliceToVolume(useNMI=true) preset,
+    # irtkImageRigidRegistrationWithPadding.cc:304-377 — NMI similarity
+    # over a `bins`-bin joint histogram)
+    metric: str = "ncc"
+    bins: int = 64
 
     def blur_sigmas(self, recon_dx: float):
         """_Blurring[0] = recon_dx/2, doubled per level (mm)."""
@@ -175,6 +181,28 @@ def _ncc(target, target_mean, source, sub_mask):
     return jnp.where(norm > 0, sab / jnp.sqrt(jnp.maximum(norm, 1e-30)), 0.0)
 
 
+def _bin_indices(batch, ok, bins: int):
+    """Per-slice rescale of valid intensities to [0, bins-1] int32
+    (irtkImageRegistration::Initialize rescales each image to the bin
+    range by its own extrema)."""
+    big = jnp.float32(3.4e38)
+    mx = jnp.max(jnp.where(ok, batch, -big), axis=(1, 2))
+    mn = jnp.min(jnp.where(ok, batch, big), axis=(1, 2))
+    span = jnp.maximum(mx - mn, 1e-6)[:, None, None]
+    t = (batch - mn[:, None, None]) / span * (bins - 1)
+    return jnp.clip(t, 0, bins - 1).astype(jnp.int32)
+
+
+def _nmi_slices(targets, source, sub_mask, bins: int):
+    """Per-slice NMI over the valid-pair support (the s2v analog of
+    register/volume._nmi_metric)."""
+    from .volume import _nmi_metric
+    ok = (targets >= 0.0) & (source >= 0.0) & sub_mask[None, :, :]
+    t_bin = _bin_indices(targets, ok, bins)
+    s_bin = _bin_indices(source, ok, bins)
+    return _nmi_metric(t_bin, s_bin, ok, bins)
+
+
 def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
                  targets_blurred, target_means, shape_hw, level: int,
                  sigma_pix: float):
@@ -182,6 +210,7 @@ def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
     h, w = shape_hw
     lin = (jnp.arange(h)[:, None] * w + jnp.arange(w)[None, :])
     sub_mask = (lin % (level + 1)) == 0
+    use_nmi = getattr(cfg, "metric", "ncc") == "nmi"
 
     def cost(params):
         sim = jnp.zeros((params.shape[0],), jnp.float32)
@@ -189,7 +218,12 @@ def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
             gen = generate_slices(recon, recon_w2i, params, ofs_i2w,
                                   shape_hw, insofs)
             gen = reg_blur(gen, sigma_pix)
-            sim = sim + _ncc(targets_blurred, target_means, gen, sub_mask)
+            if use_nmi:
+                sim = sim + _nmi_slices(targets_blurred, gen, sub_mask,
+                                        cfg.bins)
+            else:
+                sim = sim + _ncc(targets_blurred, target_means, gen,
+                                 sub_mask)
         return sim
 
     return cost

@@ -1,0 +1,181 @@
+"""2-D mesh (slices x vol_z) vs the single-device fast engine.
+
+The composed sharding (parallel/mesh2d.py) must reproduce the replicated
+engine exactly: slice shards scatter into z-slabs (psum over `slices`),
+slab gathers psum over `vol_z`, EM statistics psum over `slices`.
+Runs on the 8-device virtual CPU mesh in 4x2 and 2x4 arrangements.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fetalreconstruction_tpu.ops import psf as psf_ops
+from fetalreconstruction_tpu.ops import psf_fast as pf
+from fetalreconstruction_tpu.parallel import mesh2d as g2
+from fetalreconstruction_tpu.pipeline import svr_core
+from fetalreconstruction_tpu.pipeline.state import create_slices
+
+from phantom import make_ground_truth, simulate_stacks, mask_slices, \
+    recon_mask
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8
+    gt = make_ground_truth(n=24, spacing=2.0)  # z=24 divides 2 and 4
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.5, dz=4.0,
+                                noise=1.0)
+    batch = mask_slices(create_slices(stacks, [8.0, 8.0]))
+    ra = gt.attr
+    support = psf_ops.reference_support(batch.dims, ra.dx, 1.0, 8)
+    fast = pf.FastPSF.from_batch(batch, ra.w2i(), support)
+    ctx = svr_core.SVRContext(
+        vol_shape=ra.shape_zyx, vol_spacing=(ra.dx, ra.dy, ra.dz),
+        offsets=psf_ops.make_offsets(support),
+        slice_spacing_xy=(2.5, 2.5), disable_bias=True, fast=fast)
+    n = batch.n_slices
+    # pad the slice count to a multiple of 4 (the largest slices axis)
+    pad = (-n) % 4
+    data = np.concatenate(
+        [batch.data, np.full((pad,) + batch.data.shape[1:], -1.0,
+                             np.float32)])
+    i2w = np.concatenate([batch.i2w,
+                          np.tile(batch.i2w[-1:], (pad, 1, 1))])
+    sid = np.concatenate([batch.stack_index,
+                          np.full((pad,), batch.stack_index[-1],
+                                  np.int32)])
+    n = n + pad
+    transforms = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
+    valid = jnp.asarray(data != -1.0)
+    mask = jnp.asarray(recon_mask(gt))
+    return dict(gt=gt, ctx=ctx, fast=fast, ra=ra, n=n,
+                transforms=transforms, valid=valid, mask=mask,
+                slices=jnp.asarray(data),
+                i2w=jnp.asarray(i2w, jnp.float32),
+                stack_id=jnp.asarray(sid, jnp.int32))
+
+
+def _replicated_geom(p):
+    ctx = p["ctx"]
+    fwd = svr_core.slice_forward_matrices(
+        jnp.asarray(p["ra"].w2i(), jnp.float32), p["transforms"],
+        p["i2w"])
+    return pf.make_fast_geom(p["fast"], fwd, p["valid"], ctx.vol_shape,
+                             p["mask"].reshape(-1),
+                             stack_id=p["stack_id"])
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_g2_geometry_simulate_inner_match(setup, shape):
+    p = setup
+    ctx = p["ctx"]
+    mesh = g2.make_mesh2d(*shape, jax.devices()[:8])
+
+    geom_r = _replicated_geom(p)
+    g_fn = g2.g2_build_geometry_fn(ctx, mesh)
+    geom_v = g_fn(jnp.asarray(p["ra"].w2i(), jnp.float32),
+                  p["transforms"], p["i2w"], p["valid"], p["mask"],
+                  p["stack_id"])
+    np.testing.assert_allclose(np.asarray(geom_v.sume),
+                               np.asarray(geom_r.sume), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(geom_v.den),
+                               np.asarray(geom_r.den), atol=1e-3)
+
+    mask_flat = p["mask"].reshape(-1)
+    em = svr_core.init_em_state(p["n"], p["valid"])
+    recon, wts, vc_r = svr_core.gaussian_reconstruction(
+        ctx, geom_r, geom_r.sume, p["slices"], p["valid"], em.bias,
+        em.scale, mask_flat)
+    gauss = g2.g2_gaussian_reconstruction_fn(ctx, mesh)
+    recon_v, wts_v, vc_v = gauss(p["slices"], p["valid"], geom_v,
+                                 em.bias, em.scale, p["mask"])
+    sc = max(float(jnp.abs(recon).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(recon_v), np.asarray(recon),
+                               atol=2e-3 * sc)
+    np.testing.assert_allclose(np.asarray(vc_v), np.asarray(vc_r),
+                               atol=0.5)
+
+    sim_r = svr_core.simulate(ctx, geom_r, geom_r.sume, recon, mask_flat)
+    sim_fn = g2.g2_simulate_fn(ctx, mesh)
+    sim_v = sim_fn(geom_v, recon_v, p["mask"])
+    np.testing.assert_allclose(np.asarray(sim_v.sim),
+                               np.asarray(sim_r.sim), atol=2e-2)
+
+    excluded = jnp.zeros((p["n"],), bool)
+    em = svr_core.initialize_robust_statistics(
+        ctx, p["slices"], p["valid"], sim_r, em, 120.0, 1.0, excluded)
+    args = (jnp.float32(1.0), jnp.float32(450.0), jnp.float32(1.0),
+            jnp.float32(120.0), jnp.int32(2))
+    step = g2.g2_inner_iteration_fn(ctx, mesh, do_bias=False,
+                                    do_scale=True)
+    em_v, sim2_v, recon2_v = step(geom_v, p["slices"], p["valid"], em,
+                                  sim_r, recon, wts, p["mask"], excluded,
+                                  *args)
+    # replicated step LAST: inner_iteration donates em/sim/recon
+    em_r, sim2_r, recon2_r = svr_core.inner_iteration(
+        ctx, geom_r, geom_r.sume, p["slices"], p["valid"], em, sim_r,
+        recon, wts, p["mask"], mask_flat, excluded, *args,
+        do_bias=False, do_scale=True, do_normalise_bias=False)
+    sc = max(float(jnp.abs(recon2_r).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(recon2_v),
+                               np.asarray(recon2_r), atol=2e-3 * sc)
+    np.testing.assert_allclose(np.asarray(em_v.slice_weight),
+                               np.asarray(em_r.slice_weight), atol=1e-3)
+    np.testing.assert_allclose(float(em_v.sigma2), float(em_r.sigma2),
+                               rtol=1e-3)
+
+
+def test_g2_registration_matches(setup):
+    """all-gathered slab registration == replicated registration."""
+    p = setup
+    from fetalreconstruction_tpu.register import slice2vol as s2v
+    mesh = g2.make_mesh2d(2, 4, jax.devices()[:8])
+    cfg = s2v.SliceRegConfig(levels=1, steps=2, iterations=2)
+    rng = np.random.default_rng(0)
+    recon = jnp.asarray(np.maximum(p["gt"].data, 0.0))
+    n, h, w = p["slices"].shape
+    mo = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
+    ofs = p["i2w"]
+    targets = p["slices"]
+    rw2i = jnp.asarray(p["ra"].w2i(), jnp.float32)
+    t_ref, s_ref = s2v.register_slices_to_volume(
+        cfg, recon, rw2i, p["transforms"], mo, ofs, targets,
+        p["ra"].dx)
+    f = g2.g2_register_slices_fn(cfg, mesh, p["ra"].dx)
+    t_v, s_v = f(recon, rw2i, p["transforms"], mo, ofs, targets)
+    np.testing.assert_allclose(np.asarray(t_v), np.asarray(t_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_v), np.asarray(s_ref),
+                               atol=1e-4)
+
+
+@pytest.mark.slow
+def test_g2_pipeline_mode_matches_single_device():
+    """run_svr(mesh_mode='grid') == single-device run (up to the z pad,
+    which run_svr crops back off)."""
+    from fetalreconstruction_tpu.pipeline.config import SVRConfig
+    from fetalreconstruction_tpu.pipeline.svr import run_svr
+    from fetalreconstruction_tpu.core.image import Image
+
+    gt = make_ground_truth(n=20, spacing=2.4)
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.5, dz=4.0,
+                                noise=1.0)
+    mask_img = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
+    cfg = SVRConfig(iterations=2, resolution=2.4, rec_iterations_first=2,
+                    rec_iterations_last=2, smooth_mask=2.0,
+                    multires_levels=1, reg_levels=1, reg_iterations=2,
+                    max_psf_support=8, no_log=True)
+    r_single = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
+                                    for s in stacks], mask=mask_img)
+    mesh = g2.make_mesh2d(2, 2, jax.devices()[:4])
+    r_g2 = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
+                                for s in stacks], mask=mask_img,
+                   mesh=mesh, mesh_mode="grid")
+    a, b = r_single.reconstructed, r_g2.reconstructed
+    # the z pad is cropped back, so the grids must be identical
+    assert a.data.shape == b.data.shape
+    sc = max(float(np.abs(a.data).max()), 1.0)
+    err = np.abs(a.data - b.data)
+    assert err.max() < 5e-2 * sc, err.max()

@@ -85,19 +85,20 @@ def main():
     S = len(fast.terms)
     print(f"stacks: {S}, triads per stack: {[len(t) for t in fast.terms]}")
 
-    # --- full simulate (baseline)
-    sim_fn = jax.jit(lambda v: pf.fast_simulate(fast, geom, v, mask,
-                                                vol_shape))
-    timeit("fast_simulate (production)", sim_fn, vol)
+    # --- full simulate (baseline) — geometry passed as ARGUMENTS
+    # (closure constants serialize into the HLO -> HTTP 413 on the
+    # remote-compile tunnel; round-1 lesson)
+    sim_fn = jax.jit(lambda g, v, m: pf.fast_simulate(fast, g, v, m,
+                                                      vol_shape))
+    timeit("fast_simulate (production)", sim_fn, geom, vol, mask)
 
     # --- piece: convs only
-    conv_fn = jax.jit(lambda v: [pf.conv_separable(v * mask, t)
-                                 for t in fast.terms])
-    timeit("conv_separable x S (shift-add)", conv_fn, vol)
+    conv_fn = jax.jit(lambda v, m: [pf.conv_separable(v * m, t)
+                                    for t in fast.terms])
+    timeit("conv_separable x S (shift-add)", conv_fn, vol, mask)
 
     # --- piece: shingle build from conv outputs
-    convs = [np.asarray(c) for c in conv_fn(vol)]
-    convs_j = [jnp.asarray(c) for c in convs]
+    convs_j = list(conv_fn(vol, mask))
 
     def shingle_build(cs):
         return jnp.concatenate([pf.make_shingle([c]) for c in cs], axis=1)
@@ -108,20 +109,20 @@ def main():
     # --- piece: the fused (16, S*R) gather
     table = jnp.concatenate([sh_fn(convs_j), geom.cmask], axis=0)
 
-    g_fn = jax.jit(lambda t: pf.shingle_gather(t, geom.xp, vol_shape, 2,
-                                               sid=geom.sid))
-    timeit("shingle_gather (16, S*R)", g_fn, table)
+    g_fn = jax.jit(lambda t, xp, sid: pf.shingle_gather(
+        t, xp, vol_shape, 2, sid=sid))
+    timeit("shingle_gather (16, S*R)", g_fn, table, geom.xp, geom.sid)
 
     # --- candidate: banded-matmul conv
     mats = []
     for terms in fast.terms:
         mats.append([(banded(kz, zs), banded(ky, ys), banded(kx, xs), c)
                      for kz, ky, kx, c in terms])
-    mxu_fn = jax.jit(lambda v: [conv_mxu(v * mask, m) for m in mats])
-    timeit("conv via MXU banded matmul x S", mxu_fn, vol)
+    mxu_fn = jax.jit(lambda v, m, ms: [conv_mxu(v * m, mm) for mm in ms])
+    timeit("conv via MXU banded matmul x S", mxu_fn, vol, mask, mats)
     # numeric check
-    ref = conv_fn(vol)
-    got = mxu_fn(vol)
+    ref = conv_fn(vol, mask)
+    got = mxu_fn(vol, mask, mats)
     for a, b in zip(ref, got):
         err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
         print(f"  mxu vs shift-add rel err: {err:.2e}")
@@ -135,19 +136,16 @@ def main():
             [jnp.pad(c, ((1, 0), (1, 0), (1, 0))).reshape(-1) for c in cs])
 
     num_flat = jax.jit(flat_pad)(convs_j)
-    den_flat = jax.jit(flat_pad)(
-        [geom.cmask[8 * s].reshape(zs + 1, ys + 1, xs + 1)[:, 1:, 1:]
-         for s in range(0)])  # placeholder, unused
 
-    def gather_flat(nf):
-        ui, vi, wi, wts = pf._corner_weights(geom.xp)
+    def gather_flat(nf, xp, sid):
+        ui, vi, wi, wts = pf._corner_weights(xp)
         inb = ((ui >= -1) & (ui < xs) & (vi >= -1) & (vi < ys)
                & (wi >= -1) & (wi < zs))
         lin0 = ((wi + 1) * (ys + 1) + (vi + 1)) * (xs + 1) + (ui + 1)
         lin0 = jnp.clip(lin0, 0, R - 1)
         nd = lin0.ndim - 1
-        base = lin0 + geom.sid.astype(jnp.int32).reshape(
-            geom.sid.shape + (1,) * nd) * R
+        base = lin0 + sid.astype(jnp.int32).reshape(
+            sid.shape + (1,) * nd) * R
         acc = jnp.zeros(base.shape, jnp.float32)
         for c in range(8):
             cw, cv, cu = (c >> 2) & 1, (c >> 1) & 1, c & 1
@@ -157,12 +155,13 @@ def main():
         return jnp.where(inb, acc, 0.0)
 
     gf_fn = jax.jit(gather_flat)
-    timeit("flat 8-take gather (1 payload)", gf_fn, num_flat)
+    timeit("flat 8-take gather (1 payload)", gf_fn, num_flat, geom.xp,
+           geom.sid)
     # check vs shingle gather of num only
     num_tab = sh_fn(convs_j)
-    (ref_num,) = jax.jit(lambda t: pf.shingle_gather(
-        t, geom.xp, vol_shape, 1, sid=geom.sid))(num_tab)
-    got_num = gf_fn(num_flat)
+    (ref_num,) = jax.jit(lambda t, xp, sid: pf.shingle_gather(
+        t, xp, vol_shape, 1, sid=sid))(num_tab, geom.xp, geom.sid)
+    got_num = gf_fn(num_flat, geom.xp, geom.sid)
     err = float(jnp.max(jnp.abs(ref_num - got_num))
                 / (jnp.max(jnp.abs(ref_num)) + 1e-9))
     print(f"  flat gather vs shingle rel err: {err:.2e}")
@@ -171,15 +170,15 @@ def main():
     # the stacked (2, S*R) num/den pair
     nd_flat = jnp.stack([num_flat, num_flat])  # stand-in for (num, den)
 
-    def gather_pair(nf2):
-        ui, vi, wi, wts = pf._corner_weights(geom.xp)
+    def gather_pair(nf2, xp, sid):
+        ui, vi, wi, wts = pf._corner_weights(xp)
         inb = ((ui >= -1) & (ui < xs) & (vi >= -1) & (vi < ys)
                & (wi >= -1) & (wi < zs))
         lin0 = ((wi + 1) * (ys + 1) + (vi + 1)) * (xs + 1) + (ui + 1)
         lin0 = jnp.clip(lin0, 0, R - 1)
         nd = lin0.ndim - 1
-        base = lin0 + geom.sid.astype(jnp.int32).reshape(
-            geom.sid.shape + (1,) * nd) * R
+        base = lin0 + sid.astype(jnp.int32).reshape(
+            sid.shape + (1,) * nd) * R
         deltas = jnp.asarray([(cw * (ys + 1) + cv) * (xs + 1) + cu
                               for cw in (0, 1) for cv in (0, 1)
                               for cu in (0, 1)], jnp.int32)
@@ -191,7 +190,8 @@ def main():
         return jnp.where(inb.reshape(-1)[None], out, 0.0)
 
     gp_fn = jax.jit(gather_pair)
-    timeit("pair (2,S*R) idx8 gather (2 payloads)", gp_fn, nd_flat)
+    timeit("pair (2,S*R) idx8 gather (2 payloads)", gp_fn, nd_flat,
+           geom.xp, geom.sid)
 
 
 if __name__ == "__main__":

@@ -95,6 +95,27 @@ def evaluate(target: Image, source: Image,
     bx = np.clip(np.round((tv - tmin) / widthx), 0, nbins_x - 1).astype(int)
     by = np.clip(np.round((sv - smin_all) / widthy), 0,
                  nbins_y - 1).astype(int)
+    res = _hist_battery(bx, by, nbins_x, nbins_y,
+                        tmin + np.arange(nbins_x) * widthx,
+                        smin_all + np.arange(nbins_y) * widthy)
+    if res.samples == 0:
+        return res
+
+    # PSNR: peak = max target over sampled ROI; MSE divides by the TOTAL
+    # voxel count (reference quirk)
+    ssd_raw = float(((tv - sv) ** 2).sum())
+    mse = ssd_raw / tdata.size
+    peak = float(tv.max()) if len(tv) else 1.0
+    res.psnr = (20 * np.log10(max(peak, 1e-12))
+                - 10 * np.log10(max(mse, 1e-30)))
+    return res
+
+
+def _hist_battery(bx, by, nbins_x: int, nbins_y: int, cx, cy) -> EvalResult:
+    """The irtkHistogram_2D metric battery from pre-binned pairs.
+
+    cx/cy: bin-centre intensity values.  PSNR is left to the caller
+    (each reference battery defines its own peak/divisor convention)."""
     hist = np.zeros((nbins_x, nbins_y), np.float64)
     np.add.at(hist, (bx, by), 1.0)
     n = hist.sum()
@@ -105,8 +126,6 @@ def evaluate(target: Image, source: Image,
     p = hist / n
     px = p.sum(axis=1)
     py = p.sum(axis=0)
-    cx = tmin + np.arange(nbins_x) * widthx   # bin centres
-    cy = smin_all + np.arange(nbins_y) * widthy
 
     mean_x = float((px * cx).sum())
     mean_y = float((py * cy).sum())
@@ -146,12 +165,32 @@ def evaluate(target: Image, source: Image,
         pe = float((px * py).sum())
         po = float(np.trace(p))
         res.ks = (po - pe) / (1.0 - pe) if pe < 1.0 else 1.0
+    return res
 
-    # PSNR: peak = max target over sampled ROI; MSE divides by the TOTAL
-    # voxel count (reference quirk)
-    ssd_raw = float(((tv - sv) ** 2).sum())
-    mse = ssd_raw / tdata.size
-    peak = float(tv.max()) if len(tv) else 1.0
-    res.psnr = (20 * np.log10(max(peak, 1e-12))
-                - 10 * np.log10(max(mse, 1e-30)))
+
+def evaluate_pair(tv, sv, min_intensity: float, max_intensity: float,
+                  nbins: int = 0) -> EvalResult:
+    """Battery for PAIRED 1-D samples with SHARED [min, max] binning on
+    both axes — the per-patch 2D battery convention
+    (irtkPatchBasedReconstruction.cpp:1320-1347 builds the histogram
+    from the global m_min/m_max intensity for both axes; PSNR uses
+    20 log10(max_intensity) - 10 log10(mean squared diff),
+    cpp:1190-1191)."""
+    tv = np.asarray(tv, np.float64)
+    sv = np.asarray(sv, np.float64)
+    if nbins == 0:
+        nbins = min(int(round(max_intensity - min_intensity)) + 1,
+                    DEFAULT_BINS)
+    nbins = max(nbins, 2)
+    width = (max_intensity - min_intensity) / (nbins - 1.0) or 1.0
+    bx = np.clip(np.round((tv - min_intensity) / width), 0,
+                 nbins - 1).astype(int)
+    by = np.clip(np.round((sv - min_intensity) / width), 0,
+                 nbins - 1).astype(int)
+    centres = min_intensity + np.arange(nbins) * width
+    res = _hist_battery(bx, by, nbins, nbins, centres, centres)
+    if len(tv):
+        mse = float(((tv - sv) ** 2).mean())
+        res.psnr = (20 * np.log10(max(max_intensity, 1e-12))
+                    - 10 * np.log10(max(mse, 1e-30)))
     return res

@@ -163,3 +163,145 @@ def dump_patches(batch, path: str) -> None:
     analysis (data + per-patch geometry)."""
     np.savez_compressed(path, data=batch.data, i2w=batch.i2w,
                         dims=batch.dims, stack_index=batch.stack_index)
+
+
+def _nn_sample(vol: np.ndarray, pos: np.ndarray):
+    """Round positions to voxels; returns (values, in-bounds mask) —
+    the reference's round_()+bounds-check convention."""
+    zs, ys, xs = vol.shape
+    p = np.round(pos).astype(int)
+    inb = ((p[..., 0] >= 0) & (p[..., 0] < xs)
+           & (p[..., 1] >= 0) & (p[..., 1] < ys)
+           & (p[..., 2] >= 0) & (p[..., 2] < zs))
+    pc = np.clip(p, 0, [xs - 1, ys - 1, zs - 1])
+    return vol[pc[..., 2], pc[..., 1], pc[..., 0]], inb
+
+
+def _patch_world_grid(i2w: np.ndarray, transform: np.ndarray, h: int,
+                      w: int) -> np.ndarray:
+    """World positions of patch pixels (x, y, 0) through T @ i2w."""
+    m = np.asarray(transform, np.float64) @ np.asarray(i2w, np.float64)
+    gy, gx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    return (m[:3, 0][None, None] * gx[..., None]
+            + m[:3, 1][None, None] * gy[..., None]
+            + m[:3, 3][None, None])
+
+
+def _patch_battery_rows(path: str, header_first: str, pairs) -> int:
+    """Write the per-patch 2D CSV (header of cpp:1290-1304); `pairs`
+    yields (patch_no, tv, sv, min_i, max_i); returns rows written."""
+    from .metrics import evaluate_pair
+    C1, C2 = 6.5025, 58.5225
+    rows = 0
+    with open(path, "w") as f:
+        f.write(header_first + ",PSNR,SSIM,DSSIM,PatchMean,ReconMean,"
+                "PatchVariance,ReconVariance,Covariance,JointEntropy,"
+                "Crosscorrelation,CorrelationRatioPatchRecon,"
+                "CorrelationRatioReconPatch,MutualInformation,"
+                "NormalizedMutualInformation,SumSquareDiff,"
+                "LabelConsistency,KappaStatistic,\n")
+        for patch_no, tv, sv, min_i, max_i in pairs:
+            if len(tv) < 2:
+                continue
+            ev = evaluate_pair(tv, sv, min_i, max_i)
+            ssim = (((2 * ev.mean_x * ev.mean_y + C1)
+                     * (2 * ev.cov + C2))
+                    / ((ev.mean_x ** 2 + ev.mean_y ** 2 + C1)
+                       * (ev.var_x + ev.var_y + C2)))
+            vals = [ev.psnr, ssim, (1 - ssim) / 2, ev.mean_x, ev.mean_y,
+                    ev.var_x, ev.var_y, ev.cov, ev.je, ev.cc, ev.cr_xy,
+                    ev.cr_yx, ev.mi, ev.nmi, ev.ssd, ev.lc, ev.ks]
+            f.write(",".join([str(patch_no)] + ["%g" % v for v in vals])
+                    + ",\n")
+            rows += 1
+    return rows
+
+
+def evaluate_2d(iteration: int, recon: Image, batch, transforms,
+                eval_mask: Image, mask_name: str, patch_size: int,
+                patch_stride: int, min_intensity: float,
+                max_intensity: float, slice_weights=None,
+                sim_weights=None, csv_dir: str = ".") -> List[str]:
+    """Evaluate2d (irtkPatchBasedReconstruction.cpp:1236-1449): per-PATCH
+    joint-histogram battery of patch pixels vs the NN-sampled
+    reconstruction, one CSV per stack
+    (log-evaluate-stack-<i>-iteration-<it>-size-<sz>-<stride>-<mask>.csv).
+
+    Gates per the reference: patch weight >= 0.99999 (if slice_weights
+    given), per-pixel sim weight >= 0.99999 (if sim_weights given),
+    patch value > 0, NN-rounded mask value > 0, recon value > 0."""
+    rw2i = recon.attr.w2i()
+    mw2i = eval_mask.attr.w2i()
+    rdata = np.asarray(recon.data, np.float64)
+    mdata = np.asarray(eval_mask.data, np.float64)
+    sids = np.asarray(batch.stack_index)
+    paths = []
+    for si in np.unique(sids):
+        members = np.nonzero(sids == si)[0]
+
+        def pairs():
+            for z in members:
+                if slice_weights is not None and \
+                        slice_weights[z] < 0.99999:
+                    continue
+                pd = np.asarray(batch.data[z], np.float64)
+                h, w = pd.shape
+                wpos = _patch_world_grid(batch.i2w[z], transforms[z], h, w)
+                rv, rin = _nn_sample(
+                    rdata, wpos @ np.asarray(rw2i)[:3, :3].T
+                    + np.asarray(rw2i)[:3, 3])
+                mv, min_b = _nn_sample(
+                    mdata, wpos @ np.asarray(mw2i)[:3, :3].T
+                    + np.asarray(mw2i)[:3, 3])
+                keep = (pd > 0) & rin & min_b & (mv > 0) & (rv > 0)
+                if sim_weights is not None:
+                    keep &= np.asarray(sim_weights[z]) >= 0.99999
+                yield (int(z) + 1, pd[keep], rv[keep], min_intensity,
+                       max_intensity)
+
+        path = os.path.join(
+            csv_dir, f"log-evaluate-stack-{si}-iteration-{iteration}-"
+                     f"size-{patch_size}-{patch_stride}-{mask_name}.csv")
+        _patch_battery_rows(path, f"Stack[{si}]//Patch no.", pairs())
+        paths.append(path)
+    return paths
+
+
+def evaluate_baseline_2d(batch, stacks: List[Image], eval_mask: Image,
+                         mask_name: str, patch_size: int,
+                         patch_stride: int, min_intensity: float,
+                         max_intensity: float,
+                         csv_dir: str = ".") -> str:
+    """EvaluateBaseline2d (cpp:1011-1234): the LAST stack's patches vs
+    the NN-sampled FIRST (reference) stack — the no-reconstruction
+    2D baseline CSV
+    (log-evaluate-stack-0-<last>-baseline-size-<sz>-<stride>-<mask>.csv)."""
+    ref = stacks[0]
+    target_stack = int(np.asarray(batch.stack_index).max())
+    rw2i = ref.attr.w2i()
+    mw2i = eval_mask.attr.w2i()
+    rdata = np.asarray(ref.data, np.float64)
+    mdata = np.asarray(eval_mask.data, np.float64)
+    members = np.nonzero(np.asarray(batch.stack_index) == target_stack)[0]
+
+    def pairs():
+        for z in members:
+            pd = np.asarray(batch.data[z], np.float64)
+            h, w = pd.shape
+            wpos = _patch_world_grid(batch.i2w[z], np.eye(4), h, w)
+            rv, rin = _nn_sample(
+                rdata, wpos @ np.asarray(rw2i)[:3, :3].T
+                + np.asarray(rw2i)[:3, 3])
+            mv, min_b = _nn_sample(
+                mdata, wpos @ np.asarray(mw2i)[:3, :3].T
+                + np.asarray(mw2i)[:3, 3])
+            keep = (pd > 0) & rin & min_b & (mv > 0) & (rv > 0)
+            yield (int(z) + 1, pd[keep], rv[keep], min_intensity,
+                   max_intensity)
+
+    path = os.path.join(
+        csv_dir, f"log-evaluate-stack-0-{target_stack}-baseline-"
+                 f"size-{patch_size}-{patch_stride}-{mask_name}.csv")
+    _patch_battery_rows(path, "Stack[0]//Patch no.", pairs())
+    return path

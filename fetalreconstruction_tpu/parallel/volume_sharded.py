@@ -228,44 +228,47 @@ def vs_fast_simulate(fast: pf.FastPSF, geom: VSGeom, vol_slab, mask_slab,
 
 def vs_fast_scatter2(fast: pf.FastPSF, geom: VSGeom, pay_a, pay_b,
                      mask_slab, vol_shape, axis_name: str):
-    """Transpose accumulation into z-slabs: ownership-masked 8-corner
-    scatter (each corner voxel belongs to exactly one slab — no halo),
-    then the per-stack adjoint convolutions with halo exchange."""
+    """Transpose accumulation into z-slabs via the parity-blocked
+    WIDTH-16 row scatter (one row per pixel — the layout the replicated
+    engine uses; the round-3 width-2 8-rows-per-pixel form was the slow
+    formulation, ~85 ns/row x 8 rows), then the per-stack adjoint
+    convolutions with halo exchange.
+
+    Slab assignment is by the pixel's FLOOR voxel: the whole 2x2x2
+    trilinear window spans local z [wl, wl+1], so the slab scatters into
+    a LOCAL parity-blocked volume of height lz+1 (one top halo plane)
+    and the halo plane is ppermute'd forward and added to the next
+    slab's first plane.  No global parity alignment is needed — parity
+    blocks are defined in slab-local coordinates.  Equality with the
+    replicated engine (incl. masks extending to the volume borders) is
+    asserted in tests/test_volume_sharded.py."""
     zs, ys, xs = vol_shape
     lz = mask_slab.shape[0]
     s_ = len(fast.terms)
-    z0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * lz
+    idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    n_dev = jax.lax.axis_size(axis_name)
+    z0 = idx * lz
     inv = jnp.where(geom.sume > 0,
                     1.0 / jnp.where(geom.sume > 0, geom.sume, 1.0), 0.0)
-    a = (pay_a * inv).reshape(-1)
-    b = (pay_b * inv).reshape(-1)
-    ui, vi, wi, wts = pf._corner_weights(geom.xp)
-    nd = wi.ndim - geom.sid.ndim
-    sid_b = geom.sid.astype(jnp.int32).reshape(geom.sid.shape + (1,) * nd)
-    rows_all, upd_all = [], []
-    for c in range(8):
-        cw, cv, cu = (c >> 2) & 1, (c >> 1) & 1, c & 1
-        zc, yc, xc = wi + cw, vi + cv, ui + cu
-        own = ((zc >= z0) & (zc < z0 + lz) & (zc >= 0) & (zc < zs)
-               & (yc >= 0) & (yc < ys) & (xc >= 0) & (xc < xs))
-        lin = ((sid_b * lz + (zc - z0)) * ys + yc) * xs + xc
-        # disowned corners go to a POSITIVE out-of-bounds sentinel: with
-        # mode="drop" a -1 row would WRAP numpy-style into the slab's
-        # last voxel (the replicated engine's -1 harmlessly wraps into a
-        # trimmed halo row; a dense slab has no halo to sacrifice)
-        rows_all.append(jnp.where(own, lin,
-                                  s_ * lz * ys * xs).reshape(-1))
-        w = wts[..., c].reshape(-1)
-        upd_all.append(jnp.stack([w * a, w * b], axis=-1))
-    rows = jnp.concatenate(rows_all)
-    upd = jnp.concatenate(upd_all)
-    acc = jnp.zeros((s_ * lz * ys * xs, 2), jnp.float32)
-    acc = acc.at[rows].add(upd, mode="drop")
-    acc = acc.reshape(s_, lz, ys, xs, 2)
+    # ownership by floor voxel; the -1 global halo floor belongs to slab 0
+    w_floor = jnp.floor(geom.xp[..., 2]).astype(jnp.int32)
+    lo = jnp.where(idx == 0, -1, 0)
+    own = (w_floor - z0 >= lo) & (w_floor - z0 <= lz - 1)
+    a = jnp.where(own, pay_a * inv, 0.0)
+    b = jnp.where(own, pay_b * inv, 0.0)
+    xp_loc = geom.xp - jnp.asarray([0.0, 0.0, 1.0]) * z0.astype(jnp.float32)
+    blocked = pf._splat2_blocked(xp_loc, a, b, (lz + 1, ys, xs),
+                                 sid=geom.sid, n_stacks=s_)
+    acc = jnp.stack([jnp.stack(pf._unblock2(blocked[s], (lz + 1, ys, xs)))
+                     for s in range(s_)])        # (S, 2, lz+1, ys, xs)
+    # top halo plane -> next slab's first plane (device 0 receives zeros)
+    halo = acc[:, :, lz]
+    recv = jax.lax.ppermute(halo, axis_name,
+                            [(i, i + 1) for i in range(n_dev - 1)])
+    acc = acc[:, :, :lz].at[:, :, 0].add(recv)
     out = jnp.zeros((2, lz, ys, xs), jnp.float32)
     for s, terms in enumerate(fast.terms):
-        both = jnp.stack([acc[s, ..., 0], acc[s, ..., 1]])
-        out = out + vs_conv_separable(both, terms, axis_name, flip=True)
+        out = out + vs_conv_separable(acc[s], terms, axis_name, flip=True)
     m = (mask_slab != 0).astype(jnp.float32)
     return out[0] * m, out[1] * m
 

@@ -56,6 +56,9 @@ class PVRConfig(SVRConfig):
     evaluation_masks: List[str] = dataclasses.field(default_factory=list)
     evaluate_baseline: bool = False       # --evaluateBaseline
     patch_extraction: bool = False        # --patchExtraction
+    evaluate_2d: bool = False             # also run the per-PATCH 2D
+                                          # battery (Evaluate2d /
+                                          # EvaluateBaseline2d CSVs)
 
 
 def run_pvr(cfg: PVRConfig, stacks: Optional[List[Image]] = None,
@@ -133,8 +136,11 @@ def _run_level(cfg: PVRConfig, stacks, mask, patch_size, patch_stride,
                 mask=recon_mask_img, stack_transforms=stack_transforms,
                 use_full_slices=cfg.use_full_slices)
 
+    batch_cell = {}
+
     def factory(*a):
         batch = base_factory(*a)
+        batch_cell["batch"] = batch
         if cfg.patch_extraction:
             # --patchExtraction: dump the patch batch
             # (irtkPatchBasedReconstruction.cpp:351-385)
@@ -161,11 +167,25 @@ def _run_level(cfg: PVRConfig, stacks, mask, patch_size, patch_stride,
                     float(np.max(gt_img.data)), tag,
                     dssim_path=f"dssim-iter-{it}-size-{patch_size}"
                                f"-{patch_stride}.nii.gz")
+            mx = max(float(np.max(s.data)) for s in stacks)
+            mn = min(float(np.min(s.data)) for s in stacks)
             for mpath in cfg.evaluation_masks:
                 em = read_nifti(mpath)
                 name = os.path.splitext(
                     os.path.basename(mpath))[0].replace(".nii", "")
                 pvr_eval.evaluate_3d(it, recon_img, stacks, em, tag, name)
+                if cfg.evaluate_2d and "batch" in batch_cell:
+                    # per-patch 2D battery (Evaluate2d, cpp:1236-1449)
+                    b = batch_cell["batch"]
+                    t = transforms if transforms is not None else \
+                        np.tile(np.eye(4), (b.n_slices, 1, 1))
+                    pvr_eval.evaluate_2d(
+                        it, recon_img, b, t, em, name, patch_size,
+                        patch_stride, mn, mx)
+                    if it == 0 and cfg.evaluate_baseline:
+                        pvr_eval.evaluate_baseline_2d(
+                            b, stacks, em, name, patch_size,
+                            patch_stride, mn, mx)
 
     return run_svr(cfg, stacks=stacks, mask=mask, slice_factory=factory,
                    reference_volume=initial, iteration_hook=hook, mesh=mesh)

@@ -87,3 +87,58 @@ def optimize_level(cfg: OptimizerConfig, cost: Callable, params0, step0):
     (params, sim), _ = jax.lax.scan(
         step_round, (params0, jnp.zeros((n,), params0.dtype)), steps)
     return params, sim
+
+
+def optimize_level_coord(cfg: OptimizerConfig, cost: Callable, params0,
+                         step0):
+    """Per-DOF coordinate search (Gauss-Seidel) at one pyramid level.
+
+    DOCUMENTED DEVIATION from the reference optimizer: the reference's
+    gradient scheme probes every DOF at +-step, normalizes the 6-vector
+    and line-searches ALONG THAT MIXED DIRECTION — when translation and
+    rotation axes have very different cost curvature the direction
+    overshoots the narrow axis and the round deactivates after one
+    failed trial (round-4 measurement on a textured-slice problem with
+    6 deg in-plane rotation + 1.5 mm shift: gradient descent stalls at
+    rz~0.3 deg and chained restarts are a fixed point, while this sweep
+    recovers (1.5 mm, 6.0 deg) exactly — tools/README.md).  Each sweep
+    tries +-step on each DOF independently and accepts per-slice
+    improvements; 12 cost evaluations per sweep, the same budget as one
+    gradient iteration, with no line search needed.
+
+    cost: (N,6) params -> (N,) similarity (maximized).
+    Returns (params (N,6), similarity (N,)).
+    """
+    n = params0.shape[0]
+    eye6 = jnp.eye(6, dtype=params0.dtype)
+
+    def step_round(carry, step_size):
+        params, _ = carry
+
+        def sweep(carry2, _):
+            params, active, best = carry2
+            improved = jnp.zeros((n,), bool)
+            for p in range(6):
+                delta = step_size * eye6[p][None, :]
+                cp = cost(params + delta)
+                cm = cost(params - delta)
+                take_p = active & (cp > best + cfg.epsilon) & (cp >= cm)
+                take_m = active & (cm > best + cfg.epsilon) & ~take_p
+                sign = (take_p.astype(params.dtype)
+                        - take_m.astype(params.dtype))
+                params = params + delta * sign[:, None]
+                best = jnp.where(take_p, cp, jnp.where(take_m, cm, best))
+                improved = improved | take_p | take_m
+            return (params, active & improved, best), None
+
+        best0 = cost(params)
+        active0 = jnp.ones((n,), bool)
+        (params, _, best), _ = jax.lax.scan(
+            sweep, (params, active0, best0), None, length=cfg.iterations)
+        return (params, best), None
+
+    steps = jnp.asarray([step0 / (2.0 ** s) for s in range(cfg.steps)],
+                        params0.dtype)
+    (params, sim), _ = jax.lax.scan(
+        step_round, (params0, jnp.zeros((n,), params0.dtype)), steps)
+    return params, sim

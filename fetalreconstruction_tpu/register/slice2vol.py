@@ -43,7 +43,8 @@ import numpy as np
 
 from ..core.geometry import rigid_matrix_jax
 from ..ops.sampling import sample_linear
-from .optimizer import OptimizerConfig, optimize_level
+from .optimizer import (OptimizerConfig, optimize_level,
+                        optimize_level_coord)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +74,12 @@ class SliceRegConfig:
     # over a `bins`-bin joint histogram)
     metric: str = "ncc"
     bins: int = 64
+    # optimizer: "coord" (per-DOF Gauss-Seidel sweeps — round-4 default:
+    # recovers rotation+translation couplings the reference's
+    # normalized-gradient line search measurably stalls on, at the same
+    # cost-eval budget; optimizer.optimize_level_coord) or "gd" (the
+    # reference-faithful gradient scheme)
+    optimizer: str = "coord"
 
     def blur_sigmas(self, recon_dx: float):
         """_Blurring[0] = recon_dx/2, doubled per level (mm)."""
@@ -256,8 +263,10 @@ def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
         ocfg = OptimizerConfig(steps=cfg.steps, iterations=cfg.iterations,
                                epsilon=cfg.epsilon,
                                max_linesearch=cfg.max_linesearch)
-        params, sim = optimize_level(ocfg, cost, params,
-                                     cfg.step0 * (2.0 ** level))
+        opt = optimize_level_coord \
+            if getattr(cfg, "optimizer", "coord") == "coord" \
+            else optimize_level
+        params, sim = opt(ocfg, cost, params, cfg.step0 * (2.0 ** level))
     t_new = params_to_matrix(params)
     mo_inv = jnp.linalg.inv(mo)
     out = jnp.einsum("nij,njk->nik", t_new, mo_inv)

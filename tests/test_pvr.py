@@ -102,3 +102,41 @@ def test_pvr_evaluate_gt_csv(tmp_path, monkeypatch):
     # header + one row per outer iteration
     assert len(lines) == 1 + cfg.iterations, lines
     assert "iter-0" in lines[1] and "iter-1" in lines[2]
+
+
+def test_pvr_evaluate_2d_csv(tmp_path, monkeypatch):
+    """--evaluate_2d wiring: per-PATCH CSVs (Evaluate2d /
+    EvaluateBaseline2d, irtkPatchBasedReconstruction.cpp:1011-1449) with
+    the 18-metric header and one row per surviving patch."""
+    import os
+    monkeypatch.chdir(tmp_path)
+    gt = make_ground_truth(n=24, spacing=1.8)
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.2, dz=3.6)
+    mask = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
+    from fetalreconstruction_tpu.io.nifti import write_nifti
+    em_path = str(tmp_path / "evalmask.nii.gz")
+    write_nifti(mask, em_path)
+    cfg = PVRConfig(iterations=1, resolution=1.8, rec_iterations_first=2,
+                    rec_iterations_last=2, smooth_mask=2.0,
+                    multires_levels=1, reg_levels=1, reg_iterations=2,
+                    patch_size=10, patch_stride=5, engine="exact",
+                    evaluation_masks=[em_path], evaluate_2d=True,
+                    evaluate_baseline=True, no_log=True)
+    run_pvr(cfg, stacks=stacks, mask=mask)
+    files = os.listdir(tmp_path)
+    it_csvs = [f for f in files
+               if f.startswith("log-evaluate-stack-") and
+               "-iteration-0-" in f]
+    base_csvs = [f for f in files if "-baseline-size-" in f]
+    assert len(it_csvs) == 2, files   # one per stack
+    assert len(base_csvs) == 1, files
+    for f in it_csvs + base_csvs:
+        lines = [l for l in (tmp_path / f).read_text().splitlines()
+                 if l.strip()]
+        assert lines[0].count(",") >= 18, lines[0]
+        assert "PSNR" in lines[0] and "KappaStatistic" in lines[0]
+        assert len(lines) > 1, f  # at least one patch row
+        # every data row: patch no + 17 numeric fields
+        row = lines[1].rstrip(",").split(",")
+        assert len(row) == 18, row
+        float(row[1])

@@ -100,3 +100,60 @@ def test_registration_recovers_motion():
     assert np.median(errs1) < 1.2, f"median err {np.median(errs1):.2f} mm"
     # and the optimizer must not decrease the similarity it maximizes
     assert np.all(np.isfinite(np.asarray(sim)))
+
+
+def _textured_volume(n=48, seed=5):
+    """Asymmetric, rotation-identifiable texture (no radial symmetry)."""
+    rng = np.random.default_rng(seed)
+    lin = np.linspace(-1, 1, n)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    v = (50 + 30 * np.sin(6 * xx + 2) + 25 * np.cos(9 * yy - 1)
+         + 18 * np.sin(5 * xx * yy + 4 * zz) + 12 * xx * 40 * yy)
+    v = np.where(np.sqrt(xx**2 + yy**2 + zz**2) < 0.9, v, 0.0)
+    return np.maximum(v, 0.0).astype(np.float32)
+
+
+def _rotation_problem(rz_true=6.0, tx_true=1.5):
+    """One axial mid-slice of a textured volume, target generated at the
+    TRUE transform; registration must recover (rz, tx) from identity.
+
+    World coords are CENTRED on the slice centre (the ResetOrigin
+    convention prepare_registration_slices provides in the pipeline), so
+    rotations pivot there: recon_w2i translates world by +c, ofs_i2w
+    maps slice (x, y, 0) -> world (x-c, y-c, 0)."""
+    vol = _textured_volume()
+    n = vol.shape[0]
+    c = (n - 1) / 2.0
+    recon_w2i = np.eye(4); recon_w2i[:3, 3] = c
+    ofs = np.eye(4); ofs[0, 3] = -c; ofs[1, 3] = -c
+    true_p = jnp.asarray([[tx_true, 0, 0, 0, 0, rz_true]], jnp.float32)
+    mo = np.eye(4)[None]
+    target = s2v.generate_slices(
+        jnp.asarray(vol), jnp.asarray(recon_w2i, jnp.float32), true_p,
+        jnp.asarray(ofs[None], jnp.float32), (n, n), 0)
+    return vol, recon_w2i, target, mo, ofs[None]
+
+
+@pytest.mark.parametrize("metric", ["ncc", "nmi"])
+def test_inplane_rotation_recovery(metric):
+    """The optimizer must move ROTATIONS (round-3 diag_s2v4 finding: with
+    the GPU-preset 0.1-step schedule rotations never moved; the CPU-preset
+    default must recover an in-plane rotation on a textured slice), under
+    both the NCC and the NMI (GuessParameterSliceToVolume(useNMI))
+    similarity."""
+    rz_true, tx_true = 6.0, 1.5
+    vol, recon_w2i, target, mo, ofs = _rotation_problem(rz_true, tx_true)
+    cfg = s2v.SliceRegConfig(levels=2, steps=4, iterations=12,
+                             metric=metric)
+    out, sim = s2v.register_slices_to_volume(
+        cfg, jnp.asarray(vol), jnp.asarray(recon_w2i, jnp.float32),
+        jnp.eye(4, dtype=jnp.float32)[None],
+        jnp.asarray(mo, jnp.float32), jnp.asarray(ofs, jnp.float32),
+        target, 1.0)
+    p = np.asarray(s2v.matrix_to_params_jax(out))[0]
+    # recovered transform must approach the truth (tolerances loose for
+    # NMI: 64-bin histograms quantize the cost surface)
+    tol_r = 1.5 if metric == "ncc" else 3.0
+    tol_t = 0.75 if metric == "ncc" else 1.5
+    assert abs(p[5] - rz_true) < tol_r, p
+    assert abs(p[0] - tx_true) < tol_t, p

@@ -181,23 +181,35 @@ def g2_estep_fn(ctx, mesh: Mesh):
         out_specs=(EM_SPEC, SLICE)))
 
 
-def g2_register_slices_fn(reg_cfg, mesh: Mesh, recon_dx: float):
+def g2_register_slices_fn(reg_cfg, mesh: Mesh, recon_dx: float,
+                          ctx=None):
     """Slice-to-volume registration on the 2D mesh: the z-slab-sharded
     volume is all-gathered over `vol_z` (16 MB-class, once per outer
     iteration — negligible against the registration compute), then each
-    device registers its LOCAL slice shard against the full volume."""
+    device registers its LOCAL slice shard against the full volume
+    (PSF-matched tables built in-body when reg_cfg.psf_matched)."""
     from ..register import slice2vol as s2v
 
-    def body(recon_slab, recon_w2i, transforms, mo, ofs_i2w, targets):
+    psf = (ctx is not None and ctx.fast is not None
+           and getattr(reg_cfg, "psf_matched", False))
+
+    def body(recon_slab, recon_w2i, transforms, mo, ofs_i2w, targets,
+             stack_id):
         recon = jax.lax.all_gather(recon_slab, AXIS_V, axis=0,
                                    tiled=True)
+        if psf:
+            tab = s2v.build_psf_tables(ctx.fast, recon)
+            return s2v.register_slices_to_volume(
+                reg_cfg, recon, recon_w2i, transforms, mo, ofs_i2w,
+                targets, recon_dx, psf_table=tab,
+                vol_shape=tuple(ctx.vol_shape), sid=stack_id)
         return s2v.register_slices_to_volume(
             reg_cfg, recon, recon_w2i, transforms, mo, ofs_i2w, targets,
             recon_dx)
 
     return jax.jit(_smap(
         body, mesh,
-        in_specs=(SLAB, P(), SLICE, SLICE, SLICE, SLICE),
+        in_specs=(SLAB, P(), SLICE, SLICE, SLICE, SLICE, SLICE),
         out_specs=(SLICE, SLICE)))
 
 

@@ -209,7 +209,8 @@ def sharded_estep(ctx: svr_core.SVRContext, mesh: Mesh):
     return jax.jit(sm)
 
 
-def sharded_register_slices(reg_cfg, mesh: Mesh, recon_dx: float):
+def sharded_register_slices(reg_cfg, mesh: Mesh, recon_dx: float,
+                            ctx: Optional[svr_core.SVRContext] = None):
     """Slice-to-volume registration under the mesh: the #1 hot loop
     (registerMultipleSlicesToVolume, reconstruction_cuda2.cu:4001-4147)
     sharded over slices — each chip optimizes its own slice range against
@@ -217,18 +218,31 @@ def sharded_register_slices(reg_cfg, mesh: Mesh, recon_dx: float):
     are independent; the reference's multi-GPU path partitions exactly the
     same way via dev_slice_range_offset).
 
-    Returns f(recon, recon_w2i, transforms, mo, ofs_i2w, targets)
-    -> (new_transforms (N,4,4), similarity (N,))."""
+    With ctx (fast engine) and reg_cfg.psf_matched, the PSF-matched
+    tables are built from the replicated recon inside the body.
+
+    Returns f(recon, recon_w2i, transforms, mo, ofs_i2w, targets,
+    stack_id) -> (new_transforms (N,4,4), similarity (N,))."""
     from ..register import slice2vol as s2v
 
-    def step(recon, recon_w2i, transforms, mo, ofs_i2w, targets):
+    psf = (ctx is not None and ctx.fast is not None
+           and getattr(reg_cfg, "psf_matched", False))
+
+    def step(recon, recon_w2i, transforms, mo, ofs_i2w, targets,
+             stack_id):
+        if psf:
+            tab = s2v.build_psf_tables(ctx.fast, recon)
+            return s2v.register_slices_to_volume(
+                reg_cfg, recon, recon_w2i, transforms, mo, ofs_i2w,
+                targets, recon_dx, psf_table=tab,
+                vol_shape=tuple(ctx.vol_shape), sid=stack_id)
         return s2v.register_slices_to_volume(
             reg_cfg, recon, recon_w2i, transforms, mo, ofs_i2w, targets,
             recon_dx)
 
     sm = _shard_map(
         step, mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS)))
     return jax.jit(sm)
 

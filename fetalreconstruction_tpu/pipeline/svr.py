@@ -533,6 +533,14 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                and not cfg.disable_bias_correction and cfg.sigma > 0)
     do_nbias = do_bias and not cfg.global_bias_correction
 
+    # PSF-matched registration tables (SliceRegConfig.psf_matched):
+    # per-stack convolved recon, rebuilt per registration round
+    if reg_cfg.psf_matched and ctx.fast is not None:
+        _psf_tab = jax.jit(lambda r: s2v.build_psf_tables(ctx.fast, r))
+    else:
+        def _psf_tab(rec):
+            return None
+
     # stage dispatch: with a mesh every device stage runs the explicit
     # shard_map program (parallel/sharded.py for slice-DP,
     # parallel/volume_sharded.py for z-slab volume sharding) — the same
@@ -550,7 +558,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         _g2_inner = g2.g2_inner_iteration_fn(
             ctx, mesh, do_bias=do_bias, do_scale=cfg.intensity_matching,
             do_normalise_bias=do_nbias)
-        _g2_reg = g2.g2_register_slices_fn(reg_cfg, mesh, recon_attr.dx)
+        _g2_reg = g2.g2_register_slices_fn(reg_cfg, mesh, recon_attr.dx,
+                                           ctx=ctx)
 
         def _geom_fn(rw2i, t, i2w, dims, v, mf, sid):
             g = _g2_geom(rw2i, t, i2w, v, mask_j, sid)
@@ -575,7 +584,7 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                              lm, mn, mx, it_)
 
         def _reg_fn(rec, rw2i, t, mo, ofs, tg):
-            return _g2_reg(rec, rw2i, t, mo, ofs, tg)
+            return _g2_reg(rec, rw2i, t, mo, ofs, tg, stack_id_j)
     elif mesh is not None and mesh_mode == "volume":
         from ..parallel import volume_sharded as vsd
         if ctx.fast is None:
@@ -611,9 +620,12 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
 
         def _reg_fn(rec, rw2i, t, mo, ofs, tg):
             # registration reads the (sharded) volume replicated
-            return s2v.register_slices_to_volume(reg_cfg, rec, rw2i, t,
-                                                 mo, ofs, tg,
-                                                 recon_attr.dx)
+            tab = _psf_tab(rec)
+            return s2v.register_slices_to_volume(
+                reg_cfg, rec, rw2i, t, mo, ofs, tg, recon_attr.dx,
+                psf_table=tab, vol_shape=tuple(ctx.vol_shape)
+                if tab is not None else None,
+                sid=stack_id_j if tab is not None else None)
     elif mesh is not None:
         from ..parallel import sharded
         _geom_fn = sharded.sharded_build_geometry(ctx, mesh)
@@ -624,8 +636,11 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
         _inner_fn = sharded.sharded_inner_iteration(
             ctx, mesh, do_bias=do_bias, do_scale=cfg.intensity_matching,
             do_normalise_bias=do_nbias)
-        _reg_fn = sharded.sharded_register_slices(reg_cfg, mesh,
-                                                  recon_attr.dx)
+        _reg0 = sharded.sharded_register_slices(reg_cfg, mesh,
+                                                recon_attr.dx, ctx=ctx)
+
+        def _reg_fn(rec, rw2i, t, mo, ofs, tg):
+            return _reg0(rec, rw2i, t, mo, ofs, tg, stack_id_j)
     else:
         def _geom_fn(rw2i, t, i2w, dims, v, mf, sid):
             return svr_core.build_geometry(ctx, rw2i, t, i2w, dims, v, mf,
@@ -654,9 +669,12 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                 do_normalise_bias=do_nbias)
 
         def _reg_fn(rec, rw2i, t, mo, ofs, tg):
-            return s2v.register_slices_to_volume(reg_cfg, rec, rw2i, t,
-                                                 mo, ofs, tg,
-                                                 recon_attr.dx)
+            tab = _psf_tab(rec)
+            return s2v.register_slices_to_volume(
+                reg_cfg, rec, rw2i, t, mo, ofs, tg, recon_attr.dx,
+                psf_table=tab, vol_shape=tuple(ctx.vol_shape)
+                if tab is not None else None,
+                sid=stack_id_j if tab is not None else None)
 
     recon = jnp.zeros(recon_attr.shape_zyx, jnp.float32)
     if reference_volume is None and cfg.reference_volume:

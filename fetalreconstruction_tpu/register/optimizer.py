@@ -89,6 +89,30 @@ def optimize_level(cfg: OptimizerConfig, cost: Callable, params0, step0):
     return params, sim
 
 
+def coord_sweep(cost: Callable, params, active, best, step_size,
+                epsilon: float):
+    """One Gauss-Seidel sweep over the 6 DOFs (shared by the scanned
+    optimize_level_coord and the stepped per-sweep driver in
+    slice2vol — identical accept semantics by construction).
+
+    Returns (params, active & improved, best)."""
+    n = params.shape[0]
+    eye6 = jnp.eye(6, dtype=params.dtype)
+    improved = jnp.zeros((n,), bool)
+    for p in range(6):
+        delta = step_size * eye6[p][None, :]
+        cp = cost(params + delta)
+        cm = cost(params - delta)
+        take_p = active & (cp > best + epsilon) & (cp >= cm)
+        take_m = active & (cm > best + epsilon) & ~take_p
+        sign = (take_p.astype(params.dtype)
+                - take_m.astype(params.dtype))
+        params = params + delta * sign[:, None]
+        best = jnp.where(take_p, cp, jnp.where(take_m, cm, best))
+        improved = improved | take_p | take_m
+    return params, active & improved, best
+
+
 def optimize_level_coord(cfg: OptimizerConfig, cost: Callable, params0,
                          step0):
     """Per-DOF coordinate search (Gauss-Seidel) at one pyramid level.
@@ -110,26 +134,15 @@ def optimize_level_coord(cfg: OptimizerConfig, cost: Callable, params0,
     Returns (params (N,6), similarity (N,)).
     """
     n = params0.shape[0]
-    eye6 = jnp.eye(6, dtype=params0.dtype)
 
     def step_round(carry, step_size):
         params, _ = carry
 
         def sweep(carry2, _):
             params, active, best = carry2
-            improved = jnp.zeros((n,), bool)
-            for p in range(6):
-                delta = step_size * eye6[p][None, :]
-                cp = cost(params + delta)
-                cm = cost(params - delta)
-                take_p = active & (cp > best + cfg.epsilon) & (cp >= cm)
-                take_m = active & (cm > best + cfg.epsilon) & ~take_p
-                sign = (take_p.astype(params.dtype)
-                        - take_m.astype(params.dtype))
-                params = params + delta * sign[:, None]
-                best = jnp.where(take_p, cp, jnp.where(take_m, cm, best))
-                improved = improved | take_p | take_m
-            return (params, active & improved, best), None
+            params, active, best = coord_sweep(cost, params, active, best,
+                                               step_size, cfg.epsilon)
+            return (params, active, best), None
 
         best0 = cost(params)
         active0 = jnp.ones((n,), bool)

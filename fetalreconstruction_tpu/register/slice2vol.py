@@ -74,12 +74,26 @@ class SliceRegConfig:
     # over a `bins`-bin joint histogram)
     metric: str = "ncc"
     bins: int = 64
+    # pyramid: true image pyramid — blur + DECIMATE the pixel grid by
+    # 2^level (the reference CPU registration's Initialize(level)
+    # downsampling).  False reverts to the round-3 blur-only form with
+    # the GPU path's lin%(level+1) subsample.
+    pyramid: bool = True
     # optimizer: "coord" (per-DOF Gauss-Seidel sweeps — round-4 default:
     # recovers rotation+translation couplings the reference's
     # normalized-gradient line search measurably stalls on, at the same
     # cost-eval budget; optimizer.optimize_level_coord) or "gd" (the
     # reference-faithful gradient scheme)
     optimizer: str = "coord"
+    # psf_matched: generate registration slices from the per-stack
+    # PSF-convolved volume (generate_slices_psf) instead of the raw
+    # recon.  MEASURED round-4 (tools/diag_ortho.py + the acceptance
+    # scenario): helps the all-slices-moved orthogonal scenario slightly
+    # (+0.75 vs +0.61 dB) but REGRESSES the same-geometry acceptance
+    # scenario and the half-moved orthogonal one (-1.75 vs -0.55 dB) —
+    # the blur flattens the cost landscape more than the model-mismatch
+    # removal gains.  Default OFF; kept as a validated-off option.
+    psf_matched: bool = False
 
     def blur_sigmas(self, recon_dx: float):
         """_Blurring[0] = recon_dx/2, doubled per level (mm)."""
@@ -136,6 +150,36 @@ def matrix_to_params_jax(m):
     rz = jnp.where(gimbal, 0.0, jnp.arctan2(m[..., 0, 1], m[..., 0, 0]))
     deg = 180.0 / jnp.pi
     return jnp.stack([tx, ty, tz, rx * deg, ry * deg, rz * deg], axis=-1)
+
+
+def generate_slices_psf(table, vol_shape, sid, recon_w2i, params, ofs_i2w,
+                        shape_hw, insofs):
+    """PSF-MATCHED slice generation: sample the slice's own stack's
+    convolved volume (corner-major shingle `table`, ops.psf_fast layout)
+    instead of the raw reconstruction.
+
+    DOCUMENTED DEVIATION from the reference (which samples the raw
+    volume texture, reconstruction_cuda2.cu:3515-3528): the targets are
+    PSF-blurred acquisitions, so raw-volume sampling leaves an
+    orientation-DEPENDENT forward-model mismatch — with orthogonal
+    stacks the mismatch pulls each stack differently and registration
+    can drag well-aligned slices off truth (round-4 measurement,
+    tools/diag_ortho.py).  Sampling K_s * recon (the simulate tables)
+    makes the registration cost consistent with the EM forward model."""
+    from ..ops.psf_fast import shingle_gather
+    n = params.shape[0]
+    h, w = shape_hw
+    t = params_to_matrix(params)
+    m = jnp.einsum("ij,njk,nkl->nil", recon_w2i, t, ofs_i2w)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    zval = jnp.float32(insofs * 2.0)
+    pts = (m[:, None, None, :3, 0] * xs[None, None, :, None]
+           + m[:, None, None, :3, 1] * ys[None, :, None, None]
+           + m[:, None, None, :3, 2] * zval
+           + m[:, None, None, :3, 3])
+    (vals,) = shingle_gather(table, pts, vol_shape, 1, sid=sid)
+    return jnp.where(vals < 0.0, -1.0, vals)
 
 
 def generate_slices(recon, recon_w2i, params, ofs_i2w, shape_hw, insofs):
@@ -212,8 +256,12 @@ def _nmi_slices(targets, source, sub_mask, bins: int):
 
 def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
                  targets_blurred, target_means, shape_hw, level: int,
-                 sigma_pix: float):
-    """Build the per-level cost function params (N,6) -> similarity (N,)."""
+                 sigma_pix: float, psf_table=None, vol_shape=None,
+                 sid=None):
+    """Build the per-level cost function params (N,6) -> similarity (N,).
+
+    psf_table/vol_shape/sid (optional): PSF-matched sampling — generate
+    from the per-stack convolved volumes instead of the raw recon."""
     h, w = shape_hw
     lin = (jnp.arange(h)[:, None] * w + jnp.arange(w)[None, :])
     sub_mask = (lin % (level + 1)) == 0
@@ -222,8 +270,13 @@ def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
     def cost(params):
         sim = jnp.zeros((params.shape[0],), jnp.float32)
         for insofs in cfg.through_plane_offsets:
-            gen = generate_slices(recon, recon_w2i, params, ofs_i2w,
-                                  shape_hw, insofs)
+            if psf_table is not None:
+                gen = generate_slices_psf(psf_table, vol_shape, sid,
+                                          recon_w2i, params, ofs_i2w,
+                                          shape_hw, insofs)
+            else:
+                gen = generate_slices(recon, recon_w2i, params, ofs_i2w,
+                                      shape_hw, insofs)
             gen = reg_blur(gen, sigma_pix)
             if use_nmi:
                 sim = sim + _nmi_slices(targets_blurred, gen, sub_mask,
@@ -236,41 +289,160 @@ def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
     return cost
 
 
+def _level_data(cfg: SliceRegConfig, targets, ofs_i2w, sigma_pix_full,
+                level: int):
+    """Per-level target/geometry preparation.
+
+    With cfg.pyramid (default): blur at the level sigma, then DECIMATE
+    the pixel grid by 2^level — the reference CPU registration's true
+    image pyramid (irtkImageRegistration::Initialize downsamples by
+    _Resolution[l]); the round-3 implementation only blurred and kept
+    the GPU path's lin%(level+1) subsample.  Decimation cuts level-l
+    cost-eval work 4^l x and is what makes coarse levels cheap enough
+    for the stepped TPU driver.  ofs_i2w absorbs the pixel scale."""
+    f = 2 ** level if getattr(cfg, "pyramid", True) else 1
+    tgt = reg_blur(targets, sigma_pix_full)
+    if f > 1:
+        # padding-aware f x f average pooling (the reference resamples
+        # with interpolation — a strided pick ALIASES and measurably
+        # degraded the acceptance scenario); decimated pixel (x', y')
+        # sits at original (f x' + (f-1)/2)
+        n, h, w = tgt.shape
+        hp, wp = h - h % f, w - w % f
+        t2 = tgt[:, :hp, :wp].reshape(n, hp // f, f, wp // f, f)
+        ok = t2 > -1.0
+        s = jnp.sum(jnp.where(ok, t2, 0.0), axis=(2, 4))
+        c = jnp.sum(ok, axis=(2, 4))
+        tgt = jnp.where(c > 0, s / jnp.maximum(c, 1), -1.0)
+        scale = np.diag([f, f, 1.0, 1.0]).astype(np.float32)
+        scale[0, 3] = scale[1, 3] = (f - 1) / 2.0
+        ofs_l = jnp.einsum("nij,jk->nik", ofs_i2w,
+                           jnp.asarray(scale))
+        return tgt, ofs_l, sigma_pix_full / f, 0
+    return tgt, ofs_i2w, sigma_pix_full, \
+        (0 if getattr(cfg, "pyramid", True) else level)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sub_level", "gen_sigma",
+                                   "vol_shape"))
+def _cost_once(cfg, sub_level, gen_sigma, vol_shape, table, sid,
+               recon_w2i, ofs_l, tgt, tgt_mean, params):
+    cost = make_cost_fn(cfg, None, recon_w2i, ofs_l, tgt, tgt_mean,
+                        tgt.shape[1:], sub_level, gen_sigma,
+                        psf_table=table, vol_shape=vol_shape, sid=sid)
+    return cost(params)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sub_level", "gen_sigma",
+                                   "vol_shape"))
+def _sweep_once(cfg, sub_level, gen_sigma, vol_shape, table, sid,
+                recon_w2i, ofs_l, tgt, tgt_mean, params, active, best,
+                step):
+    from .optimizer import coord_sweep
+    cost = make_cost_fn(cfg, None, recon_w2i, ofs_l, tgt, tgt_mean,
+                        tgt.shape[1:], sub_level, gen_sigma,
+                        psf_table=table, vol_shape=vol_shape, sid=sid)
+    params, active, best = coord_sweep(cost, params, active, best, step,
+                                       cfg.epsilon)
+    return params, active, best, jnp.any(active)
+
+
 def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
-                              transforms, mo, ofs_i2w, targets, recon_dx):
+                              transforms, mo, ofs_i2w, targets, recon_dx,
+                              psf_table=None, vol_shape=None, sid=None):
     """Full batched registration.
 
     recon: [z,y,x] current volume; recon_w2i: (4,4);
     transforms: (N,4,4) current slice transforms T;
     mo: (N,4,4) origin offset matrices (translation by resampled-slice
         origin); ofs_i2w: (N,4,4) origin-zeroed resampled-slice i2w;
-    targets: (N,H,W) resampled slices (-1 padded).
+    targets: (N,H,W) resampled slices (-1 padded);
+    psf_table/vol_shape/sid (optional): per-stack convolved-volume
+        shingle for PSF-matched generation (generate_slices_psf).
 
     Returns ((N,4,4) updated transforms, (N,) final similarity
     = _slices_regCertainty).
     """
     t_opt = jnp.einsum("nij,njk->nik", transforms, mo)
     params = matrix_to_params_jax(t_opt)
-    shape_hw = targets.shape[1:]
-    sim = jnp.zeros((targets.shape[0],), jnp.float32)
+    n = targets.shape[0]
+    sim = jnp.zeros((n,), jnp.float32)
     sigmas = cfg.blur_sigmas(float(recon_dx))
+
+    # all generation goes through ONE corner-major shingle table: a
+    # single width-8 take per sample instead of sample_linear's 8
+    # separate element takes (round-4 chip profile: 614 ms -> ~200 ms
+    # per cost eval at the canonical shape; numerically identical)
+    if psf_table is None:
+        from ..ops.psf_fast import make_shingle
+        psf_table = make_shingle([recon])
+        vol_shape = tuple(recon.shape)
+        sid = None
+
+    # STEPPED driver (host loop of jitted sweeps) outside traces with
+    # the coord optimizer: (a) the monolithic level program (scan over
+    # step rounds x sweeps x 12 cost evals) crashes the TPU worker
+    # through the axon runtime at canonical shape (round-4 bisect:
+    # single cost evals and single sweeps run fine), and (b) the host
+    # loop EARLY-EXITS a step round as soon as no slice improved —
+    # semantically identical to the fixed-length scan (inactive sweeps
+    # are no-ops) but skips their wasted cost evals.
+    stepped = (not isinstance(recon_w2i, jax.core.Tracer)
+               and not isinstance(targets, jax.core.Tracer)
+               and not isinstance(params, jax.core.Tracer)
+               and getattr(cfg, "optimizer", "coord") == "coord")
+
     for level in range(cfg.levels - 1, -1, -1):
         sigma_pix = sigmas[level] / float(recon_dx)
-        tgt = reg_blur(targets, sigma_pix)
+        tgt, ofs_l, gen_sigma, sub_level = _level_data(
+            cfg, targets, ofs_i2w, sigma_pix, level)
         tgt_mean, _ = _masked_mean(tgt)
-        cost = make_cost_fn(cfg, recon, recon_w2i, ofs_i2w, tgt, tgt_mean,
-                            shape_hw, level, sigma_pix)
+        step0_level = cfg.step0 * (2.0 ** level)
+        if stepped:
+            statics = (cfg, sub_level, float(gen_sigma), vol_shape)
+            args = (psf_table, sid, recon_w2i, ofs_l, tgt, tgt_mean)
+            for sr in range(cfg.steps):
+                step = jnp.float32(step0_level / 2.0 ** sr)
+                best = _cost_once(*statics, *args, params)
+                active = jnp.ones((n,), bool)
+                for _ in range(cfg.iterations):
+                    params, active, best, any_active = _sweep_once(
+                        *statics, *args, params, active, best, step)
+                    if not bool(any_active):
+                        break
+            sim = best
+            continue
+        cost = make_cost_fn(cfg, recon, recon_w2i, ofs_l, tgt, tgt_mean,
+                            tgt.shape[1:], sub_level, gen_sigma,
+                            psf_table=psf_table, vol_shape=vol_shape,
+                            sid=sid)
         ocfg = OptimizerConfig(steps=cfg.steps, iterations=cfg.iterations,
                                epsilon=cfg.epsilon,
                                max_linesearch=cfg.max_linesearch)
         opt = optimize_level_coord \
             if getattr(cfg, "optimizer", "coord") == "coord" \
             else optimize_level
-        params, sim = opt(ocfg, cost, params, cfg.step0 * (2.0 ** level))
+        params, sim = opt(ocfg, cost, params, step0_level)
     t_new = params_to_matrix(params)
     mo_inv = jnp.linalg.inv(mo)
     out = jnp.einsum("nij,njk->nik", t_new, mo_inv)
     return out, sim
+
+
+def build_psf_tables(fast, recon):
+    """(8, S*R) corner-major shingle of the normalized per-stack PSF
+    blur (K_s * recon) / (K_s * 1) — the generate_slices_psf source.
+    Rebuilt per registration round (the recon changed); ~tens of ms with
+    the MXU conv path."""
+    from ..ops import psf_fast as pf
+    ones = jnp.ones_like(recon)
+    tabs = []
+    for terms in fast.terms:
+        num = pf.conv_separable(recon, terms)
+        den = pf.conv_separable(ones, terms)
+        tabs.append(pf.make_shingle(
+            [jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), 0.0)]))
+    return jnp.concatenate(tabs, axis=1)
 
 
 register_slices_to_volume_jit = jax.jit(

@@ -132,7 +132,8 @@ def test_g2_registration_matches(setup):
     p = setup
     from fetalreconstruction_tpu.register import slice2vol as s2v
     mesh = g2.make_mesh2d(2, 4, jax.devices()[:8])
-    cfg = s2v.SliceRegConfig(levels=1, steps=2, iterations=2)
+    cfg = s2v.SliceRegConfig(levels=1, steps=2, iterations=2,
+                             psf_matched=False)  # sharding equality only
     rng = np.random.default_rng(0)
     recon = jnp.asarray(np.maximum(p["gt"].data, 0.0))
     n, h, w = p["slices"].shape
@@ -144,7 +145,8 @@ def test_g2_registration_matches(setup):
         cfg, recon, rw2i, p["transforms"], mo, ofs, targets,
         p["ra"].dx)
     f = g2.g2_register_slices_fn(cfg, mesh, p["ra"].dx)
-    t_v, s_v = f(recon, rw2i, p["transforms"], mo, ofs, targets)
+    t_v, s_v = f(recon, rw2i, p["transforms"], mo, ofs, targets,
+                 p["stack_id"])
     np.testing.assert_allclose(np.asarray(t_v), np.asarray(t_ref),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(s_v), np.asarray(s_ref),

@@ -305,7 +305,9 @@ def test_sharded_registration_matches_single_device():
     targets, mo, ofs = prepare_registration_slices(batch, ra.dx)
     t0 = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
 
-    cfg = s2v.SliceRegConfig(levels=1, iterations=3)
+    # psf_matched off: this test checks SHARDING equality (the PSF-matched
+    # path is covered by the run_svr pipeline equality tests)
+    cfg = s2v.SliceRegConfig(levels=1, iterations=3, psf_matched=False)
     single_t, single_sim = s2v.register_slices_to_volume(
         cfg, recon, recon_w2i, t0, jnp.asarray(mo), jnp.asarray(ofs),
         jnp.asarray(targets), ra.dx)
@@ -313,7 +315,8 @@ def test_sharded_registration_matches_single_device():
     mesh = sharded.make_mesh(jax.devices()[:8])
     reg_fn = sharded.sharded_register_slices(cfg, mesh, ra.dx)
     mesh_t, mesh_sim = reg_fn(recon, recon_w2i, t0, jnp.asarray(mo),
-                              jnp.asarray(ofs), jnp.asarray(targets))
+                              jnp.asarray(ofs), jnp.asarray(targets),
+                              jnp.zeros((n,), jnp.int32))
 
     # the single-device optimizer must have actually moved (non-trivial
     # problem), and the sharded result must agree to far below a voxel.

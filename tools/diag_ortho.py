@@ -99,7 +99,7 @@ def main(orientations=((0, 0, 0), (90, 0, 0)), seed=3, t_amp=4.0,
     orig_reg = svr_mod.s2v.register_slices_to_volume
 
     def oracle_reg(cfg, recon, recon_w2i, transforms, mo, ofs, targets,
-                   recon_dx):
+                   recon_dx, **kw):
         out = true_transforms(captured["batch"])
         return jnp.asarray(out), jnp.zeros((out.shape[0],), jnp.float32)
 

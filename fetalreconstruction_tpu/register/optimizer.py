@@ -95,16 +95,38 @@ def coord_sweep(cost: Callable, params, active, best, step_size,
     optimize_level_coord and the stepped per-sweep driver in
     slice2vol — identical accept semantics by construction).
 
+    The accept threshold is SCALE-AWARE: a trial step of size s must
+    improve the similarity by epsilon * max(s, 1) — large steps on a
+    flat cost ridge are drift, not signal (round-4 measurement: with a
+    flat threshold the sweep walks well-aligned slices off truth
+    chasing noise-level gains against a blurred template; a flat
+    RAISED threshold instead kills the small refinement steps real
+    motion recovery needs).
+
     Returns (params, active & improved, best)."""
     n = params.shape[0]
     eye6 = jnp.eye(6, dtype=params.dtype)
     improved = jnp.zeros((n,), bool)
+    eps_base = epsilon * jnp.maximum(step_size, 1.0)
     for p in range(6):
+        # through-plane DOFs of a thick slice (tz, rx, ry — params 2, 3,
+        # 4) see mostly forward-model blur mismatch, not signal: their
+        # accept threshold is 4x stiffer (round-4 measurement: ungated
+        # through-plane moves dragged well-aligned slices off truth)
+        eps_eff = eps_base * (4.0 if p in (2, 3, 4) else 1.0)
         delta = step_size * eye6[p][None, :]
         cp = cost(params + delta)
         cm = cost(params - delta)
-        take_p = active & (cp > best + epsilon) & (cp >= cm)
-        take_m = active & (cm > best + epsilon) & ~take_p
+        # directional-contrast gate: besides improving on `best`, the
+        # central difference cp - cm must itself be decisive — on a
+        # near-flat DOF (through-plane translation of a thick slice)
+        # both probes hover at best+noise and an ungated sweep walks
+        # the slice along the flat valley; the reference's normalized
+        # gradient implicitly suppressed such DOFs, this is the
+        # per-DOF analog
+        take_p = active & (cp > best + eps_eff) & (cp >= cm + eps_eff)
+        take_m = active & (cm > best + eps_eff) & (cm >= cp + eps_eff) \
+            & ~take_p
         sign = (take_p.astype(params.dtype)
                 - take_m.astype(params.dtype))
         params = params + delta * sign[:, None]

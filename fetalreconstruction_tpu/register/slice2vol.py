@@ -301,6 +301,10 @@ def _level_data(cfg: SliceRegConfig, targets, ofs_i2w, sigma_pix_full,
     cost-eval work 4^l x and is what makes coarse levels cheap enough
     for the stepped TPU driver.  ofs_i2w absorbs the pixel scale."""
     f = 2 ** level if getattr(cfg, "pyramid", True) else 1
+    # minimum-size guard (the reference pyramid stops downsampling small
+    # images): decimating tiny targets destroys the cost signal
+    while f > 1 and min(targets.shape[1:]) // f < 32:
+        f //= 2
     tgt = reg_blur(targets, sigma_pix_full)
     if f > 1:
         # padding-aware f x f average pooling (the reference resamples

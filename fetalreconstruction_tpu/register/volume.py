@@ -23,6 +23,7 @@ of independent targets (stacks, packages) registers in lock-step.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -145,6 +146,51 @@ def _rescale_for_bins(data, padding, bins):
     return jnp.where(ok, scaled, -1.0)
 
 
+def _vol_cost_body(metric, bins, tdata, sdata, tgt_i2w, src_w2i, tpad,
+                   spad, params):
+    """Similarity of source(T(x)) vs target over the target raster."""
+    zs, ys, xs = tdata.shape
+    gx = jnp.arange(xs, dtype=jnp.float32)
+    gy = jnp.arange(ys, dtype=jnp.float32)
+    gz = jnp.arange(zs, dtype=jnp.float32)
+    t = rigid_matrix_jax(params)
+    m = jnp.einsum("ij,njk,kl->nil", src_w2i, t, tgt_i2w)
+    pts = (m[:, None, None, None, :3, 0] * gx[None, None, None, :, None]
+           + m[:, None, None, None, :3, 1] * gy[None, None, :, None, None]
+           + m[:, None, None, None, :3, 2] * gz[None, :, None, None, None]
+           + m[:, None, None, None, :3, 3])
+    sv = jax.vmap(lambda p: sample_linear_padded(sdata, p,
+                                                 padding=spad))(pts)
+    tb = jnp.broadcast_to(tdata[None], sv.shape)
+    ok = (tb > tpad) & (sv > spad)
+    if metric == "nmi":
+        tbin = jnp.clip(tb, 0, bins - 1).astype(jnp.int32)
+        sbin = jnp.clip(sv, 0, bins - 1).astype(jnp.int32)
+        return _nmi_metric(tbin, sbin, ok, bins)
+    return _cc_metric(tb, sv, ok)
+
+
+@partial(jax.jit, static_argnames=("metric", "bins"))
+def _vol_cost_jit(metric, bins, tdata, sdata, tgt_i2w, src_w2i, tpad,
+                  spad, params):
+    return _vol_cost_body(metric, bins, tdata, sdata, tgt_i2w, src_w2i,
+                          tpad, spad, params)
+
+
+@partial(jax.jit, static_argnames=("metric", "bins", "epsilon"))
+def _vol_sweep_jit(metric, bins, epsilon, tdata, sdata, tgt_i2w, src_w2i,
+                   tpad, spad, params, active, best, step):
+    from .optimizer import coord_sweep
+
+    def cost(p):
+        return _vol_cost_body(metric, bins, tdata, sdata, tgt_i2w,
+                              src_w2i, tpad, spad, p)
+
+    params, active, best = coord_sweep(cost, params, active, best, step,
+                                       epsilon)
+    return params, active, best, jnp.any(active)
+
+
 def register_volumes(cfg: VolRegConfig, target: Image, source: Image,
                      init_matrix: Optional[np.ndarray] = None,
                      target_padding: Optional[float] = None,
@@ -201,30 +247,30 @@ def register_volumes(cfg: VolRegConfig, target: Image, source: Image,
         gy = jnp.arange(ys, dtype=jnp.float32)
         gz = jnp.arange(zs, dtype=jnp.float32)
 
-        def cost(params, tdata=tdata, sdata=sdata, tgt_i2w=tgt_i2w,
-                 src_w2i=src_w2i, gx=gx, gy=gy, gz=gz, tpad=tpad,
-                 spad=spad):
-            t = rigid_matrix_jax(params)
-            m = jnp.einsum("ij,njk,kl->nil", src_w2i, t, tgt_i2w)
-            pts = (m[:, None, None, None, :3, 0] * gx[None, None, None, :, None]
-                   + m[:, None, None, None, :3, 1] * gy[None, None, :, None, None]
-                   + m[:, None, None, None, :3, 2] * gz[None, :, None, None, None]
-                   + m[:, None, None, None, :3, 3])
-            sv = jax.vmap(lambda p: sample_linear_padded(sdata, p,
-                                                         padding=spad))(pts)
-            tb = jnp.broadcast_to(tdata[None], sv.shape)
-            ok = (tb > tpad) & (sv > spad)
-            if cfg.metric == "nmi":
-                tbin = jnp.clip(tb, 0, cfg.bins - 1).astype(jnp.int32)
-                sbin = jnp.clip(sv, 0, cfg.bins - 1).astype(jnp.int32)
-                return _nmi_metric(tbin, sbin, ok, cfg.bins)
-            return _cc_metric(tb, sv, ok)
-
-        ocfg = OptimizerConfig(steps=cfg.steps, iterations=cfg.iterations,
-                               epsilon=cfg.epsilon,
-                               max_linesearch=cfg.max_linesearch)
-        params, sim = optimize_level(ocfg, jax.jit(cost), params,
-                                     cfg.step0 * (2.0 ** level))
+        # STEPPED execution (round 4): module-level jitted sweeps with
+        # every array as an ARGUMENT.  The former per-call jax.jit(cost)
+        # CLOSED OVER the level volumes — each dataset produced a
+        # different HLO (data baked in as constants), so nothing ever
+        # hit the persistent compile cache and stack registration
+        # recompiled its whole schedule every run (measured 595 s of a
+        # 965 s warm full-pipeline run on the chip).  With data as
+        # arguments the programs cache by SHAPE, and the host loop
+        # early-exits converged step rounds.
+        for sr in range(cfg.steps):
+            step = jnp.float32(cfg.step0 * (2.0 ** level) / (2.0 ** sr))
+            best = _vol_cost_jit(cfg.metric, cfg.bins, tdata, sdata,
+                                 tgt_i2w, src_w2i,
+                                 jnp.float32(tpad), jnp.float32(spad),
+                                 params)
+            active = jnp.ones((1,), bool)
+            for _ in range(cfg.iterations):
+                params, active, best, any_active = _vol_sweep_jit(
+                    cfg.metric, cfg.bins, cfg.epsilon, tdata, sdata,
+                    tgt_i2w, src_w2i, jnp.float32(tpad),
+                    jnp.float32(spad), params, active, best, step)
+                if not bool(any_active):
+                    break
+        sim = best
 
     t_new = np.asarray(rigid_matrix_jax(params))[0].astype(np.float64)
     out = t_new @ np.linalg.inv(mo)

@@ -111,6 +111,26 @@ def _gauss_kernel_taps(sigma_pix: float):
     return k.astype(np.float32)
 
 
+def _shift_edge(x, i: int, axis: int):
+    """x shifted so out[j] = x[clip(j + i, 0, n-1)] along `axis` —
+    slicing + edge replication instead of an index gather (TPU gathers
+    cost ~6-9 ns per ELEMENT; the former clip-take form spent ~100 ms
+    per registration cost eval in 8 such takes)."""
+    n = x.shape[axis]
+    a = abs(i)
+    if a == 0:
+        return x
+    if i > 0:
+        body = jax.lax.slice_in_dim(x, a, n, axis=axis)
+        edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        return jnp.concatenate([body, jnp.repeat(edge, a, axis=axis)],
+                               axis=axis)
+    body = jax.lax.slice_in_dim(x, 0, n - a, axis=axis)
+    edge = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    return jnp.concatenate([jnp.repeat(edge, a, axis=axis), body],
+                           axis=axis)
+
+
 def reg_blur(batch, sigma_pix: float):
     """The GPU registration blur: -1 stays -1; valid pixels convolve
     neighbours clamped to >= 0, clamp-to-edge boundary."""
@@ -120,14 +140,12 @@ def reg_blur(batch, sigma_pix: float):
     r = (len(k) - 1) // 2
     out = batch
     for axis in (2, 1):  # x then y (last two axes of (N,H,W))
-        n = out.shape[axis]
-        idx = jnp.arange(n)
         acc = out * float(k[r])
+        clamped = jnp.maximum(out, 0.0)
         for i in range(1, r + 1):
-            up = jnp.take(out, jnp.clip(idx + i, 0, n - 1), axis=axis)
-            dn = jnp.take(out, jnp.clip(idx - i, 0, n - 1), axis=axis)
-            acc = acc + float(k[r + i]) * (jnp.maximum(up, 0.0)
-                                           + jnp.maximum(dn, 0.0))
+            acc = acc + float(k[r + i]) * (_shift_edge(clamped, i, axis)
+                                           + _shift_edge(clamped, -i,
+                                                         axis))
         out = jnp.where(out == -1.0, -1.0, acc)
     return out
 
@@ -268,6 +286,9 @@ def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
     use_nmi = getattr(cfg, "metric", "ncc") == "nmi"
 
     def cost(params):
+        # (a fused single-gather form over all through-plane offsets was
+        # measured SLOWER on chip — 307 vs 288 ms per eval; TPU gather
+        # cost is per-index, so batching buys nothing)
         sim = jnp.zeros((params.shape[0],), jnp.float32)
         for insofs in cfg.through_plane_offsets:
             if psf_table is not None:

@@ -207,33 +207,38 @@ def build_scatter_plan(xp, sid, vol_shape, n_stacks) -> ScatterPlan:
     # whole expansion one gather (~45 ms at canonical shape).
     slot_off = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
     slot_valid = (slot_off < cnt[:, None]).reshape(-1)
-    bc = jax.lax.bitcast_convert_type
-    # stream-major (10, n): minor dim n keeps the table padding-free
-    packed = jnp.concatenate(
-        [bc(rows_sorted.astype(jnp.int32), jnp.float32)[None],
-         bc(perm.astype(jnp.int32), jnp.float32)[None],
-         wts[perm].T], axis=0)                               # (10, n)
     # Each chunk's slots are CONTIGUOUS sorted indices [start, start +
     # CHUNK) — so the expansion is ~nchunk bulk slice-copies, not a
     # random gather.  vmap(dynamic_slice) lowers to an XLA gather with
-    # slice_sizes (10, CHUNK): per-INDEX bulk DMA instead of the ~6-9 ns
+    # slice_sizes (k, CHUNK): per-INDEX bulk DMA instead of the ~6-9 ns
     # per-element cost of element gathers (round-4 chip finding — three
     # element-wise L-gathers were ~340 ms of the round-3 "506 ms plan
-    # rebuild"; this form measures in the tens of ms).
+    # rebuild"; this form measures in the tens of ms).  Stream-major
+    # (k, n) layouts keep the tables padding-free.  The int rows/perm
+    # live in their OWN int32 table: a bitcast-into-f32 packing was
+    # tried and silently produced ZERO rows on hardware — small int32
+    # values bitcast to DENORMAL floats, which the TPU flushes to zero
+    # in data movement (interpret mode preserves bits, so only chip
+    # runs broke).
     # zero-pad by CHUNK columns so end-of-stream slices stay in-bounds
     # (pad slots then decode to loc 0 / pperm 0 / weight 0 — inert)
-    packed = jnp.pad(packed, ((0, 0), (0, CHUNK)))
-    vals = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(packed, (0, s), (10, CHUNK))
-    )(start)                                                 # (nchunk,10,CHUNK)
-    vals = vals.transpose(1, 0, 2).reshape(10, L)
+    ints = jnp.pad(jnp.stack([rows_sorted.astype(jnp.int32),
+                              perm.astype(jnp.int32)]),
+                   ((0, 0), (0, CHUNK)))                     # (2, n+C)
+    wtab = jnp.pad(wts[perm].T, ((0, 0), (0, CHUNK)))        # (8, n+C)
+    vals_i = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ints, (0, s), (2, CHUNK))
+    )(start).transpose(1, 0, 2).reshape(2, L)
+    vals_w = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(wtab, (0, s), (8, CHUNK))
+    )(start).transpose(1, 0, 2).reshape(8, L)
     blk_slot = jnp.broadcast_to(blk_of_chunk[:, None],
                                 (nchunk, CHUNK)).reshape(-1)
-    loc = jnp.clip(bc(vals[0], jnp.int32) - blk_slot * BR, 0, BR - 1)
-    pperm = bc(vals[1], jnp.int32)
+    loc = jnp.clip(vals_i[0] - blk_slot * BR, 0, BR - 1)
+    pperm = vals_i[1]
     # pad slots zeroed so the kernel's 8-wide unroll is add-of-zero
     # past `cnt`
-    wtsT = jnp.where(slot_valid[None, :], vals[2:], 0.0)
+    wtsT = jnp.where(slot_valid[None, :], vals_w, 0.0)
     return ScatterPlan(pperm=pperm.astype(jnp.int32),
                        loc=loc.astype(jnp.int32), wtsT=wtsT,
                        blk=blk_of_chunk.astype(jnp.int32),

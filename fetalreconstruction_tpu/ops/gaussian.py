@@ -12,6 +12,9 @@ convolution-layout overhead for the small kernels used here.
 """
 from __future__ import annotations
 
+import jax
+from functools import partial as _partial
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +57,13 @@ def _blur_axis(data, kernel: np.ndarray, axis: int):
 
 
 def gaussian_blur(data, sigma_mm: float, spacing_xyz):
+    """Hashable-coercing wrapper (callers pass ndarray spacings)."""
+    return _gaussian_blur_jit(data, float(sigma_mm),
+                              tuple(float(s) for s in spacing_xyz))
+
+
+@_partial(jax.jit, static_argnames=("sigma_mm", "spacing_xyz"))
+def _gaussian_blur_jit(data, sigma_mm: float, spacing_xyz):
     """Blur a [z,y,x] (or [..., y, x] 2D batch) array.
 
     sigma_mm is in millimetres; spacing_xyz = (dx, dy, dz) in mm.
@@ -98,6 +108,15 @@ def _blur_axis_masked(data, mask, kernel: np.ndarray, axis: int):
 
 
 def gaussian_blur_padded(data, sigma_mm: float, spacing_xyz,
+                         padding: float = -1.0):
+    """Hashable-coercing wrapper."""
+    return _gaussian_blur_padded_jit(data, float(sigma_mm),
+                                     tuple(float(s) for s in spacing_xyz),
+                                     float(padding))
+
+
+@_partial(jax.jit, static_argnames=("sigma_mm", "spacing_xyz", "padding"))
+def _gaussian_blur_padded_jit(data, sigma_mm: float, spacing_xyz,
                          padding=-1.0):
     """Padding-aware blur: voxels == padding are excluded and stay padded
     (irtkGaussianBlurringWithPadding semantics, applied separably)."""

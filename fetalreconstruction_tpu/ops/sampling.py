@@ -113,9 +113,30 @@ def grid_points(shape_zyx, dtype=jnp.float32):
     return jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
 
 
+from functools import partial as _partial
+
+
 def resample_to_grid(src_vol, src_w2i, dst_shape_zyx, dst_i2w,
                      interp="linear", padding=0.0, source_padding=None):
-    """Resample src into a destination grid.
+    """Hashable-coercing wrapper over the jitted implementation."""
+    return _resample_to_grid_jit(
+        src_vol, src_w2i, tuple(int(s) for s in dst_shape_zyx), dst_i2w,
+        str(interp), float(padding),
+        None if source_padding is None else float(source_padding))
+
+
+@_partial(jax.jit, static_argnames=("dst_shape_zyx", "interp", "padding",
+                                    "source_padding"))
+def _resample_to_grid_jit(src_vol, src_w2i, dst_shape_zyx, dst_i2w,
+                          interp="linear", padding=0.0,
+                          source_padding=None):
+    """Resample src into a destination grid (jitted: callers dispatch
+    dozens of these eagerly during host-side prep, and through the axon
+    tunnel every un-jitted op pays a per-op compile — template+mask and
+    the stack-registration pyramid prep measured 145 s + ~400 s of a
+    984 s chip run before this wrapper).
+
+    dst_shape_zyx must be a TUPLE (static), paddings python floats.
 
     src_w2i/dst_i2w: 4x4 matrices (IRTK convention).  Equivalent to
     irtkResampling / irtkResamplingWithPadding / irtkImageTransformation

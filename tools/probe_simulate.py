@@ -106,8 +106,11 @@ def main():
     sh_fn = jax.jit(shingle_build)
     timeit("make_shingle x S + concat", sh_fn, convs_j)
 
-    # --- piece: the fused (16, S*R) gather
-    table = jnp.concatenate([sh_fn(convs_j), geom.cmask], axis=0)
+    # --- piece: the fused (16, S*R) gather (round-4: FastGeom no longer
+    # carries the cmask table — rebuild it here for the probe)
+    cmask_tab = jax.jit(shingle_build)(
+        [pf.conv_separable(mask, t) for t in fast.terms])
+    table = jnp.concatenate([sh_fn(convs_j), cmask_tab], axis=0)
 
     g_fn = jax.jit(lambda t, xp, sid: pf.shingle_gather(
         t, xp, vol_shape, 2, sid=sid))

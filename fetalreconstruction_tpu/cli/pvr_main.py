@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--useFullSlices", action="store_true")
     p.add_argument("--superpixel", action="store_true")
     p.add_argument("--spxSize", type=int, default=16)
-    p.add_argument("--spxExtend", type=int, default=8)
+    p.add_argument("--spxExtend", type=int, default=50,
+                   help="0-100%% ratio of superpixel size for mask "
+                        "dilation (patchBasedReconMain.cpp:124)")
     p.add_argument("--hierarchical", action="store_true")
     p.add_argument("--resample", action="store_true",
                    help="Resample input stacks to the recon resolution "

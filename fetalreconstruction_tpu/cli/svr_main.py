@@ -172,15 +172,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     if args.distributed:
-        if args.mesh_mode in ("volume", "grid"):
-            # volume z-slab state is placed with jax.device_put onto the
-            # whole mesh, which requires every device to be addressable
-            # by this process — unsupported across hosts; use the
-            # slice-DP mode (or the 2D grid mode) for multi-host runs
-            raise SystemExit(
-                "--distributed is not supported with --mesh-mode "
-                f"{args.mesh_mode} (z-slab placement spans "
-                "non-addressable devices); use --mesh-mode slices")
+        # all three mesh modes place host-global state through
+        # parallel.sharded.place_global, which switches to
+        # make_array_from_callback when process_count > 1 — every mode
+        # (slices / volume / grid) runs across hosts
         import jax
         jax.distributed.initialize()
 

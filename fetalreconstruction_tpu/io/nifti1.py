@@ -69,30 +69,39 @@ class Nifti1Header:
         return affine
 
 
-def _parse_header(raw: bytes) -> Nifti1Header:
+def _parse_header(raw: bytes):
+    """Parse the 348-byte header; returns (header, endianness prefix).
+
+    Endianness is detected from sizeof_hdr exactly as niftilib does
+    (nifti1_io.c nifti_hdr_looks_good / swap_nifti_header): if the
+    little-endian read is not 348 but the byte-swapped one is, the whole
+    file is big-endian (old scanner exports) and every field — and the
+    voxel data — is byte-swapped on read.
+    """
     if len(raw) < _HDR_SIZE:
         raise ValueError("truncated NIfTI header")
-    sizeof_hdr = struct.unpack("<i", raw[0:4])[0]
-    if sizeof_hdr != _HDR_SIZE:
-        # try big endian
+    e = "<"
+    if struct.unpack("<i", raw[0:4])[0] != _HDR_SIZE:
         if struct.unpack(">i", raw[0:4])[0] == _HDR_SIZE:
-            raise ValueError("big-endian NIfTI not supported yet")
-        raise ValueError(f"bad sizeof_hdr {sizeof_hdr}")
+            e = ">"
+        else:
+            raise ValueError(
+                f"bad sizeof_hdr {struct.unpack('<i', raw[0:4])[0]}")
     h = Nifti1Header()
-    h.dim = np.frombuffer(raw[40:56], "<i2").copy()
-    h.datatype = struct.unpack("<h", raw[70:72])[0]
-    h.pixdim = np.frombuffer(raw[76:108], "<f4").copy()
-    h.vox_offset = struct.unpack("<f", raw[108:112])[0]
-    h.scl_slope = struct.unpack("<f", raw[112:116])[0]
-    h.scl_inter = struct.unpack("<f", raw[116:120])[0]
+    h.dim = np.frombuffer(raw[40:56], e + "i2").copy()
+    h.datatype = struct.unpack(e + "h", raw[70:72])[0]
+    h.pixdim = np.frombuffer(raw[76:108], e + "f4").copy()
+    h.vox_offset = struct.unpack(e + "f", raw[108:112])[0]
+    h.scl_slope = struct.unpack(e + "f", raw[112:116])[0]
+    h.scl_inter = struct.unpack(e + "f", raw[116:120])[0]
     h.xyzt_units = raw[123]
-    h.toffset = struct.unpack("<f", raw[128:132])[0]
-    h.qform_code = struct.unpack("<h", raw[252:254])[0]
-    h.sform_code = struct.unpack("<h", raw[254:256])[0]
-    h.quatern = np.frombuffer(raw[256:268], "<f4").copy()
-    h.qoffset = np.frombuffer(raw[268:280], "<f4").copy()
-    h.srow = np.frombuffer(raw[280:328], "<f4").copy().reshape(3, 4)
-    return h
+    h.toffset = struct.unpack(e + "f", raw[128:132])[0]
+    h.qform_code = struct.unpack(e + "h", raw[252:254])[0]
+    h.sform_code = struct.unpack(e + "h", raw[254:256])[0]
+    h.quatern = np.frombuffer(raw[256:268], e + "f4").copy()
+    h.qoffset = np.frombuffer(raw[268:280], e + "f4").copy()
+    h.srow = np.frombuffer(raw[280:328], e + "f4").copy().reshape(3, 4)
+    return h, e
 
 
 def load(path: str):
@@ -111,7 +120,7 @@ def load(path: str):
 
 def load_bytes(raw: bytes):
     """Parse an (already decompressed) NIfTI-1 byte stream."""
-    h = _parse_header(raw[:_HDR_SIZE])
+    h, endian = _parse_header(raw[:_HDR_SIZE])
     ndim = int(h.dim[0])
     shape = tuple(int(s) for s in h.dim[1:1 + ndim])
     if ndim > 4:
@@ -121,8 +130,10 @@ def load_bytes(raw: bytes):
         raise ValueError(f"unsupported datatype {h.datatype}")
     offset = int(h.vox_offset)
     count = int(np.prod(shape))
-    data = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder("<"),
+    data = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(endian),
                          count=count, offset=offset)
+    if endian == ">":
+        data = data.astype(data.dtype.newbyteorder("<"))
     # file order: x fastest -> reshape with fortran order to [x,y,z,(t)]
     data = data.reshape(shape, order="F")
     slope = h.scl_slope if h.scl_slope not in (0.0,) else 1.0

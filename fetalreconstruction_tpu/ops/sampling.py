@@ -118,7 +118,31 @@ from functools import partial as _partial
 
 def resample_to_grid(src_vol, src_w2i, dst_shape_zyx, dst_i2w,
                      interp="linear", padding=0.0, source_padding=None):
-    """Hashable-coercing wrapper over the jitted implementation."""
+    """Hashable-coercing wrapper over the jitted implementation.
+
+    interp="bspline" is the cubic B-spline interpolator
+    (irtkBSplineInterpolateImageFunction: prefilter the image into
+    B-spline coefficients, then evaluate the cubic spline) used by the
+    reference for PVR grey-stack resampling
+    (irtkPatchBasedReconstruction.cpp:237-245).  It is a ONE-SHOT
+    host-side prep operation (once per pipeline, before any device
+    loop), so it runs through scipy's separable IIR prefilter +
+    map_coordinates rather than a jitted gather — the hot resample
+    paths stay on the linear/nn device kernels.
+    """
+    if str(interp) == "bspline":
+        from scipy import ndimage
+        m = np.asarray(src_w2i, np.float64) @ np.asarray(dst_i2w,
+                                                         np.float64)
+        dst = tuple(int(s) for s in dst_shape_zyx)
+        pts = np.asarray(grid_points(dst, dtype=jnp.float32), np.float64)
+        spts = pts @ m[:3, :3].T + m[:3, 3]
+        # map_coordinates wants (z, y, x) index order
+        coords = spts[:, ::-1].T
+        out = ndimage.map_coordinates(
+            np.asarray(src_vol, np.float64), coords, order=3,
+            mode="constant", cval=float(padding), prefilter=True)
+        return jnp.asarray(out.reshape(dst).astype(np.float32))
     return _resample_to_grid_jit(
         src_vol, src_w2i, tuple(int(s) for s in dst_shape_zyx), dst_i2w,
         str(interp), float(padding),

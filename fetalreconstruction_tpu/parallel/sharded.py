@@ -68,6 +68,25 @@ def shard_batch(mesh: Mesh, *arrays):
     return tuple(jax.device_put(a, s) for a in arrays)
 
 
+def place_global(mesh: Mesh, spec, a):
+    """Place a host-global array onto `mesh` with PartitionSpec `spec`,
+    working in BOTH single- and multi-process runs.
+
+    Single-process: plain jax.device_put.  Multi-process (the reference's
+    multi-node DCN tier, SURVEY §2.4): jax.device_put cannot target
+    non-addressable devices, so each process contributes only the shards
+    it owns via jax.make_array_from_callback — every process holds the
+    same host-global value (the pipeline builds its inputs identically
+    on all processes, like the reference's per-node file loads).
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sh)
+    arr = np.asarray(a)
+    return jax.make_array_from_callback(arr.shape, sh,
+                                        lambda idx: arr[idx])
+
+
 def geom_spec(ctx: svr_core.SVRContext):
     """PartitionSpec pytree for the engine's geometry structure."""
     if ctx.fast is not None:

@@ -13,9 +13,14 @@ irtkReconstructionGPU.cc:1680-1786):
   numSuperpixels = m * sqrt(w*h/2);
 - 5 k-means iterations restricted to 2S x 2S windows, then connectivity
   enforcement (small orphan regions merged into an adjacent label);
-- per-label patches: bounding box + spx_extend pixels, validity mask =
-  label mask dilated 8 times with in-plane 8-connectivity (the 2D trace of
-  CONNECTIVITY_18), outside -> -1.
+- per-label patches (generate2DSuperpixelPatches,
+  include/patchBasedObject.cuh:433-700): a FIXED 64x64 window centred on
+  the superpixel's bounding box (clamped inside the slice), validity
+  mask = the label mask dilated `round(spxExtend/100 * max(bbox_w,
+  bbox_h))` times with in-plane 8-connectivity (spxExtend is a 0-100 %
+  ratio of the superpixel size, default 50 —
+  patchBasedReconMain.cpp:106), outside -> -1; superpixels with fewer
+  than max(2, spxSize^2/4) valid pixels are skipped.
 """
 from __future__ import annotations
 
@@ -125,14 +130,21 @@ def slic_labels(img: np.ndarray, compactness: float = 10.0,
 
 
 def extract_superpixel_patches(stacks: List[Image], thickness: List[float],
-                               spx_size: int = 64, spx_extend: int = 8,
+                               spx_size: int = 64, spx_extend: int = 50,
                                compactness: float = 10.0,
-                               dilation_iters: int = 8,
+                               dilation_iters: Optional[int] = None,
                                max_patch: int = 64,
                                num_superpixels: Optional[int] = None
                                ) -> SliceBatch:
-    """Superpixel patches: per label, bbox + extend, dilated-label validity
-    (CreateSlicesAndTransformationsSuperpixelBased).
+    """Superpixel patches: per label, a fixed max_patch-square window
+    centred on the label bbox, dilated-label validity
+    (generate2DSuperpixelPatches, include/patchBasedObject.cuh:433-700).
+
+    spx_extend is the reference's --spxExtend: a 0-100 PERCENT ratio of
+    the superpixel size; the label mask dilates
+    round(spx_extend/100 * max(bbox_w, bbox_h)) times (default 50 %,
+    patchBasedReconMain.cpp:106).  dilation_iters (optional) overrides
+    that count with a fixed number of iterations.
 
     num_superpixels (optional): explicit label count per slice (the SVR
     tool's --superpixel [noLabels] flag, reconstruction.cc:207); default
@@ -166,20 +178,44 @@ def extract_superpixel_patches(stacks: List[Image], thickness: List[float],
                 if sdata[m].max() <= 0:
                     continue
                 ys_idx, xs_idx = np.nonzero(m)
-                y0 = max(int(ys_idx.min()) - spx_extend, 0)
-                y1 = min(int(ys_idx.max()) + 1 + spx_extend, a.y)
-                x0 = max(int(xs_idx.min()) - spx_extend, 0)
-                x1 = min(int(xs_idx.max()) + 1 + spx_extend, a.x)
-                if (y1 - y0) > max_patch or (x1 - x0) > max_patch:
-                    # bound patch extent (reference: 64x64 GPU limit)
-                    y1 = min(y1, y0 + max_patch)
-                    x1 = min(x1, x0 + max_patch)
-                dil = ndimage.binary_dilation(m, structure=struct,
-                                              iterations=dilation_iters)
+                y_min, y_max = int(ys_idx.min()), int(ys_idx.max())
+                x_min, x_max = int(xs_idx.min()), int(xs_idx.max())
+                spx_h, spx_w = y_max - y_min, x_max - x_min
+                # fixed window (reference forces pbbsize to 64x64,
+                # patchBasedObject.cuh:458), clamped to the slice
+                pbx = min(max_patch, a.x)
+                pby = min(max_patch, a.y)
+                ext_x = int(round((pbx - spx_w) / 2.0))
+                ext_y = int(round((pby - spx_h) / 2.0))
+                if x_min - ext_x < 0:
+                    x0, x1 = 0, pbx
+                elif x_max + ext_x > a.x:
+                    x0, x1 = a.x - pbx, a.x
+                else:
+                    x0, x1 = x_min - ext_x, x_min - ext_x + pbx
+                if y_min - ext_y < 0:
+                    y0, y1 = 0, pby
+                elif y_max + ext_y > a.y:
+                    y0, y1 = a.y - pby, a.y
+                else:
+                    y0, y1 = y_min - ext_y, y_min - ext_y + pby
+                # valid-count gate BEFORE dilation (cuh:668-670): skip
+                # superpixels smaller than a quarter initial size
+                set_count = int((sdata[m] > 0).sum())
+                min_count = (max(2, (spx_size * spx_size) // 4)
+                             if num_superpixels is None else 16)
+                if set_count < min_count:
+                    continue
+                # dilation count = spx_extend% of the larger bbox side
+                # (cuh:545-548)
+                diter = (int(dilation_iters) if dilation_iters is not None
+                         else int((spx_extend / 100.0)
+                                  * max(spx_w, spx_h)))
+                dil = (ndimage.binary_dilation(m, structure=struct,
+                                               iterations=diter)
+                       if diter > 0 else m)
                 patch = np.where(dil, sdata, -1.0)[y0:y1, x0:x1] \
                     .astype(np.float32)
-                if (patch > 0).sum() < 16:
-                    continue
                 pa = slice_attr.region(x0, y0, 0, x1, y1, 1)
                 pa.dz = float(thickness[s])
                 datas.append(patch)

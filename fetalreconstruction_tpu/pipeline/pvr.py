@@ -44,7 +44,7 @@ class PVRConfig(SVRConfig):
     use_full_slices: bool = False
     superpixel: bool = False
     spx_size: int = 64
-    spx_extend: int = 8
+    spx_extend: int = 50  # 0-100 % ratio of superpixel size (patchBasedReconMain.cpp:106)
     hierarchical: bool = False
     hier_levels: int = 3
     dilate_mask: int = 0
@@ -75,20 +75,19 @@ def run_pvr(cfg: PVRConfig, stacks: Optional[List[Image]] = None,
         mask = Image(dilate(mask.data, cfg.dilate_mask).astype(np.float32),
                      mask.attr)
     if cfg.resample:
-        # resample input stacks (linear) and mask (NN) to the isotropic
-        # recon resolution (irtkPatchBasedReconstruction.cpp:229-266; the
-        # reference uses B-spline for grey stacks — documented deviation)
+        # resample input stacks (cubic B-spline, matching the
+        # reference's irtkBSplineInterpolateImageFunction) and mask (NN)
+        # to the isotropic recon resolution
+        # (irtkPatchBasedReconstruction.cpp:229-266)
         from ..ops.sampling import resample_to_grid
         import jax.numpy as jnp
         res = cfg.resolution
         out = []
         for st in stacks:
             a = st.attr.with_spacing(res, res, res)
-            d = resample_to_grid(jnp.asarray(st.data, jnp.float32),
-                                 jnp.asarray(st.attr.w2i(), jnp.float32),
-                                 a.shape_zyx,
-                                 jnp.asarray(a.i2w(), jnp.float32),
-                                 interp="linear", padding=0.0)
+            d = resample_to_grid(np.asarray(st.data, np.float32),
+                                 st.attr.w2i(), a.shape_zyx, a.i2w(),
+                                 interp="bspline", padding=0.0)
             out.append(Image(np.asarray(d), a))
         stacks = out
         ma = mask.attr.with_spacing(res, res, res)

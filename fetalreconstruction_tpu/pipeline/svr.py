@@ -494,8 +494,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
             transforms = np.concatenate(
                 [transforms, np.tile(transforms[-1:], (extra, 1, 1))])
             n = n_pad
-        shard = NamedSharding(mesh, P("slices"))
-        place = lambda a: jax.device_put(a, shard)
+        from ..parallel.sharded import place_global
+        place = lambda a: place_global(mesh, P("slices"), a)
     else:
         place = lambda a: a
 
@@ -507,9 +507,9 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     recon_w2i_j = jnp.asarray(recon_attr.w2i(), jnp.float32)
     mask_j = jnp.asarray(recon_mask_img.data)
     if mesh is not None and mesh_mode in ("volume", "grid"):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        mask_j = jax.device_put(
-            mask_j, NamedSharding(mesh, P("vol_z")))
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.sharded import place_global
+        mask_j = place_global(mesh, P("vol_z"), mask_j)
     mask_flat = mask_j.reshape(-1)
     pos = batch.data[batch.data > 0]
     max_i = float(pos.max()) if pos.size else 1.0
@@ -750,6 +750,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                         evenodd=True, half=True, half_iter=it - 2,
                         use_nmi=cfg.use_nmi)
                     have_pkgs = False  # fall through to slice-to-volume
+                _sync()
+                stats.sample("package registration")
             if not have_pkgs:
                 if reg_targets is None:
                     reg_targets, reg_mo, reg_ofs = \
@@ -762,8 +764,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
                                                      jnp.float32)),
                                    reg_mo, reg_ofs, reg_targets)
                 transforms = np.asarray(new_t, np.float64)
-            _sync()
-            stats.sample("registration")
+                _sync()
+                stats.sample("registration")
 
         # smoothing schedule (reconstruction.cc:893-911); lambda persists
         # between level boundaries (SetSmoothingParameters only fires at

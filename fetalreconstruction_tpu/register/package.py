@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core.geometry import matrix_to_params, rigid_matrix
 from ..core.image import Image
-from .volume import VolRegConfig, register_volumes
+from .volume import VolRegConfig, register_volumes_batched
 
 
 def split_image(image: Image, packages: int) -> List[Image]:
@@ -90,6 +90,14 @@ def package_to_volume(stacks: List[Image], pack_num: List[int],
         cfg = VolRegConfig(metric="nmi" if use_nmi else "cc",
                            source_iso=True)
     transforms = np.array(transforms, dtype=np.float64, copy=True)
+    # collect EVERY package of EVERY stack, then register them as one
+    # lock-step batch against the shared reconstruction (the reference
+    # fans these out over threads, irtkReconstructionGPU.cc:5096-5190;
+    # here all packages of an iteration advance through the same jitted
+    # sweeps — the source volume is broadcast, not copied)
+    all_pkgs: List[Image] = []
+    all_members: List[List[int]] = []
+    inits: List[np.ndarray] = []
     first_slice = 0
     for i, stack in enumerate(stacks):
         if evenodd:
@@ -102,19 +110,23 @@ def package_to_volume(stacks: List[Image], pack_num: List[int],
             packages = split_image(stack, pack_num[i])
 
         for pkg in packages:
-            # slice index of the package's first slice within the stack
-            w0 = pkg.attr.image_to_world([0.0, 0.0, 0.0])
-            z0 = stack.attr.world_to_image(w0)[2]
-            first_idx = int(round(z0)) + first_slice
-            init = transforms[first_idx]
-            t_new, _ = register_volumes(cfg, pkg, reconstructed,
-                                        init_matrix=init)
-            transforms[first_idx] = t_new
-            # copy to all member slices
+            # member slice indices of the package within the batch
+            members = []
             for k in range(pkg.attr.z):
                 wk = pkg.attr.image_to_world([0.0, 0.0, float(k)])
                 zk = stack.attr.world_to_image(wk)[2]
-                idx = int(round(zk)) + first_slice
-                transforms[idx] = t_new
+                members.append(int(round(zk)) + first_slice)
+            all_pkgs.append(pkg)
+            all_members.append(members)
+            inits.append(transforms[members[0]])
         first_slice += stack.attr.z
+
+    if not all_pkgs:
+        return transforms
+    mats, _ = register_volumes_batched(
+        cfg, all_pkgs, [reconstructed] * len(all_pkgs),
+        init_matrices=np.stack(inits))
+    for t_new, members in zip(mats, all_members):
+        for idx in members:
+            transforms[idx] = t_new
     return transforms

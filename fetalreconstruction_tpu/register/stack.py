@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core.geometry import invert_rigid
 from ..core.image import Image
-from .volume import VolRegConfig, register_volumes
+from .volume import VolRegConfig, register_volumes_batched
 
 
 def stack_registrations(stacks: List[Image], template_index: int,
@@ -37,6 +37,11 @@ def stack_registrations(stacks: List[Image], template_index: int,
     mask (if given) must live on the template grid; target voxels outside
     it are zeroed (making 0 the corner-guessed padding).
     init_transforms, if given, are also in the stored convention.
+
+    All non-template stacks register as ONE lock-step batched problem
+    (register_volumes_batched) — the TPU analog of the reference's
+    TBB-parallel ParallelStackRegistrations
+    (irtkReconstructionGPU.cc:849-938).
     """
     n = len(stacks)
     out = np.tile(np.eye(4), (n, 1, 1))
@@ -55,12 +60,15 @@ def stack_registrations(stacks: List[Image], template_index: int,
     if cfg is None:
         cfg = VolRegConfig(metric="nmi" if use_nmi else "cc")
 
-    for i in range(n):
-        if external_template is None and i == template_index:
-            continue
-        # registration works in IRTK direction (template -> stack):
-        # invert stored init, run, store the inverse back
-        t_reg, _ = register_volumes(cfg, target, stacks[i],
-                                    init_matrix=invert_rigid(out[i]))
-        out[i] = invert_rigid(t_reg)
+    idx = [i for i in range(n)
+           if external_template is not None or i != template_index]
+    if not idx:
+        return out
+    # registration works in IRTK direction (template -> stack):
+    # invert stored inits, run the batch, store the inverses back
+    mats, _ = register_volumes_batched(
+        cfg, [target] * len(idx), [stacks[i] for i in idx],
+        init_matrices=np.stack([invert_rigid(out[i]) for i in idx]))
+    for j, i in enumerate(idx):
+        out[i] = invert_rigid(mats[j])
     return out

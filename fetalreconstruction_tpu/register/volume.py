@@ -191,6 +191,208 @@ def _vol_sweep_jit(metric, bins, epsilon, tdata, sdata, tgt_i2w, src_w2i,
     return params, active, best, jnp.any(active)
 
 
+def _vol_cost_body_b(metric, bins, shared_src, tdata, sdata, tgt_i2w,
+                     src_w2i, tpad, spad, params):
+    """BATCHED pair similarity: M independent (target, source) problems in
+    lock-step (the TPU analog of ParallelStackRegistrations,
+    irtkReconstructionGPU.cc:849-938 — the reference fans the problems
+    over TBB threads; here they are one vmapped program).
+
+    tdata: (M, z, y, x) targets padded to a common shape with each pair's
+    own padding value (padded voxels drop out of the `ok` mask exactly
+    like genuine padding); sdata: (M, ...) sources, or (1, ...) with
+    shared_src=True (package registration: every package registers
+    against the SAME reconstruction — broadcasting avoids materializing M
+    copies); tgt_i2w/src_w2i: (M, 4, 4); tpad/spad: (M,); params: (M, 6).
+    """
+    zs, ys, xs = tdata.shape[1:]
+    gx = jnp.arange(xs, dtype=jnp.float32)
+    gy = jnp.arange(ys, dtype=jnp.float32)
+    gz = jnp.arange(zs, dtype=jnp.float32)
+    t = rigid_matrix_jax(params)
+    m = jnp.einsum("nij,njk,nkl->nil", src_w2i, t, tgt_i2w)
+    pts = (m[:, None, None, None, :3, 0] * gx[None, None, None, :, None]
+           + m[:, None, None, None, :3, 1] * gy[None, None, :, None, None]
+           + m[:, None, None, None, :3, 2] * gz[None, :, None, None, None]
+           + m[:, None, None, None, :3, 3])
+    if shared_src:
+        sv = jax.vmap(sample_linear_padded, in_axes=(None, 0, 0))(
+            sdata[0], pts, spad)
+    else:
+        sv = jax.vmap(sample_linear_padded, in_axes=(0, 0, 0))(
+            sdata, pts, spad)
+    ok = ((tdata > tpad[:, None, None, None])
+          & (sv > spad[:, None, None, None]))
+    if metric == "nmi":
+        tbin = jnp.clip(tdata, 0, bins - 1).astype(jnp.int32)
+        sbin = jnp.clip(sv, 0, bins - 1).astype(jnp.int32)
+        return _nmi_metric(tbin, sbin, ok, bins)
+    return _cc_metric(tdata, sv, ok)
+
+
+@partial(jax.jit, static_argnames=("metric", "bins", "shared_src"))
+def _vol_cost_b_jit(metric, bins, shared_src, tdata, sdata, tgt_i2w,
+                    src_w2i, tpad, spad, params):
+    return _vol_cost_body_b(metric, bins, shared_src, tdata, sdata,
+                            tgt_i2w, src_w2i, tpad, spad, params)
+
+
+@partial(jax.jit, static_argnames=("metric", "bins", "shared_src",
+                                   "epsilon"))
+def _vol_sweep_b_jit(metric, bins, shared_src, epsilon, tdata, sdata,
+                     tgt_i2w, src_w2i, tpad, spad, params, active, best,
+                     step):
+    from .optimizer import coord_sweep
+
+    def cost(p):
+        return _vol_cost_body_b(metric, bins, shared_src, tdata, sdata,
+                                tgt_i2w, src_w2i, tpad, spad, p)
+
+    params, active, best = coord_sweep(cost, params, active, best, step,
+                                       epsilon)
+    return params, active, best, jnp.any(active)
+
+
+def _pad_batch(vols: List[np.ndarray], pads: List[float]) -> np.ndarray:
+    """Stack differently-shaped volumes into (M, z, y, x), padding each
+    at the high end with ITS OWN padding value (pad voxels then behave
+    exactly like genuine padding: sample_linear_padded drops pad-valued
+    corners and the `ok` masks exclude pad-valued raster voxels)."""
+    zs = max(v.shape[0] for v in vols)
+    ys = max(v.shape[1] for v in vols)
+    xs = max(v.shape[2] for v in vols)
+    out = np.empty((len(vols), zs, ys, xs), np.float32)
+    for i, (v, p) in enumerate(zip(vols, pads)):
+        out[i] = p
+        out[i, :v.shape[0], :v.shape[1], :v.shape[2]] = v
+    return out
+
+
+def register_volumes_batched(cfg: VolRegConfig, targets: List[Image],
+                             sources: List[Image],
+                             init_matrices: Optional[np.ndarray] = None,
+                             target_paddings: Optional[List[float]] = None,
+                             source_paddings: Optional[List[float]] = None):
+    """Register M independent rigid pairs in LOCK-STEP: pair i finds T_i
+    with targets[i](x) ~ sources[i](T_i(x)).
+
+    The serial `register_volumes` runs the stepped sweep schedule for ONE
+    pair at a time, so stacks/packages multiply wall-clock linearly; this
+    runs every pair through the same batched coord-descent sweeps the
+    slice registration uses (each jitted sweep advances all M problems;
+    converged pairs deactivate individually, the host loop exits a step
+    round when ALL are done).  Matches ParallelStackRegistrations
+    (irtkReconstructionGPU.cc:849-938) and the package fan-out
+    (irtkReconstructionGPU.cc:5096-5190).
+
+    sources may be the SAME Image object for every pair (package mode) —
+    detected and broadcast instead of copied.
+
+    Numerics note: each pair's cost is computed over its own grid exactly
+    as in the serial path (padding excludes the batch fill), but batched
+    reductions may round differently at the last ulp, so accept decisions
+    can differ on razor-thin improvements; quality is equivalent (tested
+    in tests/test_volume_batched.py).
+
+    Returns ((M, 4, 4) matrices, (M,) final similarity).
+    """
+    m_pairs = len(targets)
+    assert len(sources) == m_pairs
+    tps = [guess_padding(t.data) if target_paddings is None
+           or target_paddings[i] is None else target_paddings[i]
+           for i, t in enumerate(targets)]
+    sps = [guess_padding(s.data) if source_paddings is None
+           or source_paddings[i] is None else source_paddings[i]
+           for i, s in enumerate(sources)]
+    shared_src = all(s is sources[0] for s in sources)
+
+    # ResetOrigin per pair
+    mos = np.tile(np.eye(4), (m_pairs, 1, 1))
+    targets0 = []
+    for i, tgt in enumerate(targets):
+        a = tgt.attr.copy()
+        mos[i, :3, 3] = [a.xorigin, a.yorigin, a.zorigin]
+        a.xorigin = a.yorigin = a.zorigin = 0.0
+        targets0.append(Image(tgt.data, a))
+
+    init = np.tile(np.eye(4), (m_pairs, 1, 1)) if init_matrices is None \
+        else np.asarray(init_matrices)
+    params = matrix_to_params_jax(jnp.asarray(
+        np.einsum("nij,njk->nik", init, mos), jnp.float32))
+
+    shared_tgt = all(t is targets[0] for t in targets)
+    sim = jnp.zeros((m_pairs,), jnp.float32)
+    for level in range(cfg.levels - 1, -1, -1):
+        if shared_tgt:
+            tl0 = _pyramid_level(targets0[0], level, tps[0], cfg.blur_z)
+            tls = [tl0] * m_pairs
+        else:
+            tls = [_pyramid_level(t, level, tp, cfg.blur_z)
+                   for t, tp in zip(targets0, tps)]
+        if shared_src:
+            sls = [_pyramid_level(sources[0], level, sps[0], cfg.blur_z,
+                                  iso=cfg.source_iso)]
+        else:
+            sls = [_pyramid_level(s, level, sp, cfg.blur_z,
+                                  iso=cfg.source_iso)
+                   for s, sp in zip(sources, sps)]
+        # per-pair degenerate-level guard (see register_volumes): pairs
+        # whose coarse target keeps almost no valid voxels sit this level
+        # out (their params frozen via the active mask)
+        level_ok = np.asarray(
+            [int(np.sum(np.asarray(tl.data) > tp)) >= 200
+             for tl, tp in zip(tls, tps)])
+        if not level_ok.any():
+            continue
+        tdatas = [jnp.asarray(tl.data) for tl in tls]
+        sdatas = [jnp.asarray(sl.data) for sl in sls]
+        if cfg.metric == "nmi":
+            tdatas = [_rescale_for_bins(d, tp, cfg.bins)
+                      for d, tp in zip(tdatas, tps)]
+            sdatas = [_rescale_for_bins(d, sp, cfg.bins)
+                      for d, sp in zip(sdatas, sps)]
+            tpad = [-1.0] * m_pairs
+            spad = [-1.0] * m_pairs
+        else:
+            tpad, spad = list(tps), list(sps)
+        tdata = jnp.asarray(_pad_batch(
+            [np.asarray(d) for d in tdatas], tpad))
+        sdata = jnp.asarray(_pad_batch(
+            [np.asarray(d) for d in sdatas],
+            spad[:1] if shared_src else spad))
+        tgt_i2w = jnp.asarray(np.stack(
+            [tl.attr.i2w() for tl in tls]), jnp.float32)
+        if shared_src:
+            src_w2i = jnp.asarray(np.tile(
+                sls[0].attr.w2i()[None], (m_pairs, 1, 1)), jnp.float32)
+        else:
+            src_w2i = jnp.asarray(np.stack(
+                [sl.attr.w2i() for sl in sls]), jnp.float32)
+        tpad_a = jnp.asarray(tpad, jnp.float32)
+        spad_a = jnp.asarray(spad, jnp.float32)
+        ok_a = jnp.asarray(level_ok)
+
+        for sr in range(cfg.steps):
+            step = jnp.float32(cfg.step0 * (2.0 ** level) / (2.0 ** sr))
+            best = _vol_cost_b_jit(cfg.metric, cfg.bins, shared_src,
+                                   tdata, sdata, tgt_i2w, src_w2i,
+                                   tpad_a, spad_a, params)
+            active = ok_a
+            for _ in range(cfg.iterations):
+                params, active, best, any_active = _vol_sweep_b_jit(
+                    cfg.metric, cfg.bins, shared_src, cfg.epsilon,
+                    tdata, sdata, tgt_i2w, src_w2i, tpad_a, spad_a,
+                    params, active, best, step)
+                if not bool(any_active):
+                    break
+        sim = jnp.where(ok_a, best, sim)
+
+    t_new = np.asarray(rigid_matrix_jax(params)).astype(np.float64)
+    out = np.einsum("nij,njk->nik", t_new,
+                    np.linalg.inv(mos))
+    return out, np.asarray(sim)
+
+
 def register_volumes(cfg: VolRegConfig, target: Image, source: Image,
                      init_matrix: Optional[np.ndarray] = None,
                      target_padding: Optional[float] = None,

@@ -124,3 +124,84 @@ def test_bspline_reconstruction_fits_smooth_field():
     out = np.asarray(bspline_reconstruct(pts, vals, shape, levels=4))
     err = np.abs(out[2:-2, 2:-2, 2:-2] - gt[2:-2, 2:-2, 2:-2])
     assert err.mean() < 1.5, f"bspline fit error {err.mean()}"
+
+
+def test_volume_wo_border_tool(tmp_path, monkeypatch):
+    """The measureVolWOBorder.cc analog: border-zeroed copies + ml rows."""
+    from fetalreconstruction_tpu.cli.evaluate_main import volume_wo_border
+    from fetalreconstruction_tpu.io.nifti import write_nifti, read_nifti
+
+    gt = make_ground_truth(n=16, spacing=2.0)
+    src = tmp_path / "in"
+    src.mkdir()
+    write_nifti(gt, str(src / "vol1.nii.gz"))
+    monkeypatch.chdir(tmp_path)
+    rows = volume_wo_border(str(src))
+    assert len(rows) == 1
+    name, ml = rows[0]
+    # nonzero voxels of the 3-voxel-cropped interior, in ml
+    core = np.zeros_like(gt.data)
+    core[3:-3, 3:-3, 3:-3] = gt.data[3:-3, 3:-3, 3:-3]
+    want = int(np.count_nonzero(core) * 8.0) // 1000
+    assert ml == want
+    out = read_nifti(str(tmp_path / "c_vol1.nii.gz"))
+    assert np.count_nonzero(out.data[:3]) == 0
+    assert (tmp_path / "volumeMeasures.txt").read_text().strip() \
+        == f"{name} {ml}"
+
+
+def test_evaluate_border_flag(tmp_path):
+    """--border N crops the target border before the metric battery."""
+    from fetalreconstruction_tpu.cli.evaluate_main import main as eval_main
+    from fetalreconstruction_tpu.io.nifti import write_nifti
+    import json, contextlib, io
+
+    gt = make_ground_truth(n=16, spacing=2.0)
+    noisy = Image(gt.data + np.random.default_rng(0).normal(
+        0, 5, gt.data.shape).astype(np.float32), gt.attr.copy())
+    t, s = str(tmp_path / "t.nii"), str(tmp_path / "s.nii")
+    write_nifti(gt, t)
+    write_nifti(noisy, s)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert eval_main([t, s, "--json", "--border", "3"]) == 0
+    r = json.loads(buf.getvalue())
+    assert r["psnr"] > 10.0 and 0.9 < r["cc"] <= 1.0
+
+
+@pytest.mark.slow
+def test_recon_eval_harness(tmp_path, monkeypatch):
+    """irtkReconstructionEvaluation.cc analog end-to-end: crop + rigid
+    refine + metric battery, writing all four artifacts."""
+    from fetalreconstruction_tpu.cli.recon_eval_main import main as re_main
+    from fetalreconstruction_tpu.io.nifti import write_nifti, read_nifti
+    from fetalreconstruction_tpu.io.dof import read_dof
+    import contextlib, io
+
+    gt = make_ground_truth(n=24, spacing=2.0)
+    # "reconstruction" = slightly shifted, noisy copy of gt
+    from fetalreconstruction_tpu.ops.sampling import resample_to_grid
+    from fetalreconstruction_tpu.core.geometry import rigid_matrix
+    import jax.numpy as jnp
+    t_true = rigid_matrix([1.0, -0.5, 0.5, 0, 0, 0])
+    moved = np.asarray(resample_to_grid(
+        jnp.asarray(gt.data), jnp.asarray(gt.attr.w2i() @ t_true,
+                                          jnp.float32),
+        gt.attr.shape_zyx, jnp.asarray(gt.attr.i2w(), jnp.float32),
+        interp="linear", padding=0.0))
+    src = Image(moved.astype(np.float32), gt.attr.copy())
+    monkeypatch.chdir(tmp_path)
+    write_nifti(gt, "t.nii")
+    write_nifti(src, "s.nii")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = re_main(["t.nii", "s.nii", "out.nii", "diff.nii",
+                      "mask.nii", "ref.dof.gz"])
+    assert rc == 0
+    assert "PSNR:" in buf.getvalue()
+    out = read_nifti("out.nii")
+    assert out.data.shape == gt.data.shape
+    d = read_dof("ref.dof.gz")
+    assert d.shape == (4, 4)
+    mask = read_nifti("mask.nii")
+    assert np.array_equal(np.unique(mask.data), [0.0, 1.0])

@@ -102,6 +102,35 @@ def test_gaussian_blur_padded_keeps_padding():
     assert np.allclose(out[3:5, 3:5, 3:5], 5.0, atol=1e-4)
 
 
+def test_resample_bspline():
+    """interp='bspline' (the PVR grey-stack resampler,
+    irtkPatchBasedReconstruction.cpp:237-245): exact on the source grid,
+    and closer than linear to a smooth function on a half-voxel grid."""
+    n = 24
+    z, y, x = np.meshgrid(*[np.linspace(0, 2 * np.pi, n)] * 3,
+                          indexing="ij")
+    f = lambda xx, yy, zz: np.sin(xx) * np.cos(yy) + 0.5 * np.sin(zz)
+    vol = f(x, y, z).astype(np.float32)
+    a = ImageAttributes(x=n, y=n, z=n, dx=1.0, dy=1.0, dz=1.0)
+    same = resample_to_grid(vol, a.w2i(), a.shape_zyx, a.i2w(),
+                            interp="bspline")
+    assert np.allclose(np.asarray(same)[2:-2, 2:-2, 2:-2],
+                       vol[2:-2, 2:-2, 2:-2], atol=1e-4)
+    # half-voxel-shifted destination grid
+    b = a.copy()
+    b.xorigin += 0.5
+    h = 2 * np.pi / (n - 1)
+    want = f(x + 0.5 * h, y, z)
+    got_bs = np.asarray(resample_to_grid(vol, a.w2i(), b.shape_zyx,
+                                         b.i2w(), interp="bspline"))
+    got_li = np.asarray(resample_to_grid(vol, a.w2i(), b.shape_zyx,
+                                         b.i2w(), interp="linear"))
+    c = np.s_[3:-3, 3:-3, 3:-3]
+    err_bs = np.abs(got_bs[c] - want[c]).max()
+    err_li = np.abs(got_li[c] - want[c]).max()
+    assert err_bs < 0.5 * err_li, (err_bs, err_li)
+
+
 def test_nifti_round_trip(tmp_path):
     rng = np.random.default_rng(5)
     a = ImageAttributes(x=16, y=12, z=8, dx=1.25, dy=1.25, dz=2.5)
@@ -114,6 +143,35 @@ def test_nifti_round_trip(tmp_path):
     p = str(tmp_path / "t.nii.gz")
     write_nifti(img, p)
     back = read_nifti(p)
+    assert np.allclose(back.data, img.data, atol=1e-5)
+    assert np.allclose(back.attr.i2w(), a.i2w(), atol=1e-4)
+
+
+def test_nifti_big_endian(tmp_path):
+    """Big-endian files (old scanner exports) byte-swap on read, like
+    niftilib's swap_nifti_header/nifti_image_read path."""
+    rng = np.random.default_rng(7)
+    a = ImageAttributes(x=10, y=9, z=4, dx=1.0, dy=1.5, dz=3.0)
+    img = Image(rng.normal(size=a.shape_zyx).astype(np.float32) * 50, a)
+    p_le = str(tmp_path / "le.nii")
+    write_nifti(img, p_le)
+    with open(p_le, "rb") as f:
+        raw = bytearray(f.read())
+    # byte-swap every header field we write plus the f32 voxel payload
+    import struct as _s
+    for off, n, sz in ((0, 1, 4), (40, 8, 2), (70, 1, 2), (72, 1, 2),
+                       (76, 8, 4), (108, 1, 4), (112, 1, 4), (116, 1, 4),
+                       (128, 1, 4), (252, 1, 2), (254, 1, 2), (256, 3, 4),
+                       (268, 3, 4), (280, 12, 4), (344, 0, 0)):
+        for k in range(n):
+            s = off + k * sz
+            raw[s:s + sz] = raw[s:s + sz][::-1]
+    vox = np.frombuffer(bytes(raw[352:]), "<f4").astype(">f4")
+    raw[352:] = vox.tobytes()
+    p_be = str(tmp_path / "be.nii")
+    with open(p_be, "wb") as f:
+        f.write(bytes(raw))
+    back = read_nifti(p_be)
     assert np.allclose(back.data, img.data, atol=1e-5)
     assert np.allclose(back.attr.i2w(), a.i2w(), atol=1e-4)
 

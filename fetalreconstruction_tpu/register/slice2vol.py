@@ -94,6 +94,15 @@ class SliceRegConfig:
     # the blur flattens the cost landscape more than the model-mismatch
     # removal gains.  Default OFF; kept as a validated-off option.
     psf_matched: bool = False
+    # table_dtype: storage precision of the REGISTRATION shingle table
+    # (the volume samples feeding NCC/NMI — never the reconstruction
+    # itself).  Round-5 chip measurement (tools/probe_s2v.py): the
+    # shingle gather is ~95% of a cost eval and BANDWIDTH-bound — a
+    # bf16 table runs the level-0 generate at 38.7 vs 68.1 ms (1.76x).
+    # bf16's ~0.4% per-sample quantization is far below the acquisition
+    # noise the similarity metrics already average over (acceptance
+    # scenarios re-validated, tests/test_s2v_*).  "f32" reverts.
+    table_dtype: str = "bf16"
 
     def blur_sigmas(self, recon_dx: float):
         """_Blurring[0] = recon_dx/2, doubled per level (mm)."""
@@ -372,6 +381,89 @@ def _sweep_once(cfg, sub_level, gen_sigma, vol_shape, table, sid,
     return params, active, best, jnp.any(active)
 
 
+@partial(jax.jit, static_argnames=("bucket",))
+def _compact_rows(bucket, sel, *arrays):
+    """Gather rows `sel` (padded to a static `bucket` length) from each
+    (N, ...) array — the device side of active-set compaction."""
+    return tuple(jnp.take(a, sel, axis=0) for a in arrays)
+
+
+def _bucket_size(k: int, n: int) -> int:
+    """Smallest power-of-two >= max(k, 16), capped at n — bounds the
+    set of compiled sweep shapes to ~log2(n) buckets."""
+    b = 16
+    while b < k:
+        b *= 2
+    return min(b, n)
+
+
+def _stepped_round(cfg, statics, args, params, best, step, n):
+    """One step-size round of the stepped driver with ACTIVE-SET
+    COMPACTION (the reference GPU registration compacts its active slice
+    indices, reconstruction_cuda2.cu:4030-4075; the round-4 lock-step
+    masking evaluated ALL slices every sweep, so a handful of straggler
+    slices kept paying the full 168-slice gather — round-5 chip profile:
+    the shingle gather is ~95% of a cost eval, so sweep cost must scale
+    with the ACTIVE count).
+
+    After each sweep the host reads the active mask; once the active set
+    fits a smaller power-of-two bucket, the remaining sweeps run on the
+    compacted sub-batch (per-slice costs are independent of batch
+    composition, so results are bit-identical to the uncompacted path).
+    Returns (params, best) as full-batch arrays.
+    """
+    psf_table, sid, recon_w2i, ofs_l, tgt, tgt_mean = args
+    sel = None                   # np row indices of the working set
+    cur_bucket = n
+    cur_args = args
+    cur = (params, jnp.ones((n,), bool), best)
+    full_params = full_best = None  # np full-batch copies (on compaction)
+    p = params
+    b = best
+    for _ in range(cfg.iterations):
+        p, a, b, _ = _sweep_once(*statics, *cur_args, *cur, step)
+        am = np.asarray(a)[:n if sel is None else len(sel)]
+        k = int(am.sum())
+        if k == 0:
+            break
+        bucket = _bucket_size(k, n)
+        if bucket < cur_bucket:
+            # scatter the working sub-state back into the full copies,
+            # then rebuild the working set from the active rows (padded
+            # to `bucket` with inactive duplicates of row 0)
+            if sel is None:
+                # np.asarray of a jax array is a read-only view — copy
+                full_params = np.array(p)
+                full_best = np.array(b)
+            else:
+                full_params[sel] = np.asarray(p)[:len(sel)]
+                full_best[sel] = np.asarray(b)[:len(sel)]
+            prev_rows = np.arange(n) if sel is None else sel
+            rows = prev_rows[np.nonzero(am)[0]]
+            pad = bucket - len(rows)
+            rows_p = np.concatenate([rows, np.repeat(rows[:1], pad)]) \
+                if pad else rows
+            rows_j = jnp.asarray(rows_p, jnp.int32)
+            sub_tgt, sub_mean, sub_ofs = _compact_rows(
+                bucket, rows_j, tgt, tgt_mean, ofs_l)
+            sub_sid = None if sid is None else jnp.take(sid, rows_j)
+            cur_args = (psf_table, sub_sid, recon_w2i, sub_ofs, sub_tgt,
+                        sub_mean)
+            sub_a = np.zeros(bucket, bool)
+            sub_a[:len(rows)] = True
+            cur = (jnp.asarray(full_params[rows_p]),
+                   jnp.asarray(sub_a), jnp.asarray(full_best[rows_p]))
+            sel = rows
+            cur_bucket = bucket
+        else:
+            cur = (p, a, b)
+    if sel is None:
+        return p, b
+    full_params[sel] = np.asarray(p)[:len(sel)]
+    full_best[sel] = np.asarray(b)[:len(sel)]
+    return jnp.asarray(full_params), jnp.asarray(full_best)
+
+
 def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
                               transforms, mo, ofs_i2w, targets, recon_dx,
                               psf_table=None, vol_shape=None, sid=None):
@@ -403,6 +495,8 @@ def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
         psf_table = make_shingle([recon])
         vol_shape = tuple(recon.shape)
         sid = None
+    if getattr(cfg, "table_dtype", "bf16") == "bf16":
+        psf_table = psf_table.astype(jnp.bfloat16)
 
     # STEPPED driver (host loop of jitted sweeps) outside traces with
     # the coord optimizer: (a) the monolithic level program (scan over
@@ -426,15 +520,16 @@ def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
         if stepped:
             statics = (cfg, sub_level, float(gen_sigma), vol_shape)
             args = (psf_table, sid, recon_w2i, ofs_l, tgt, tgt_mean)
+            best = None
             for sr in range(cfg.steps):
                 step = jnp.float32(step0_level / 2.0 ** sr)
-                best = _cost_once(*statics, *args, params)
-                active = jnp.ones((n,), bool)
-                for _ in range(cfg.iterations):
-                    params, active, best, any_active = _sweep_once(
-                        *statics, *args, params, active, best, step)
-                    if not bool(any_active):
-                        break
+                if best is None:
+                    # the cost function is identical across the step
+                    # rounds of a level, so `best` carries over — only
+                    # the FIRST round of a level needs the initial eval
+                    best = _cost_once(*statics, *args, params)
+                params, best = _stepped_round(
+                    cfg, statics, args, params, best, step, n)
             sim = best
             continue
         cost = make_cost_fn(cfg, recon, recon_w2i, ofs_l, tgt, tgt_mean,

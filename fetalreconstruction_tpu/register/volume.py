@@ -51,6 +51,16 @@ class VolRegConfig:
     blur_z: bool = False         # thick-slice presets keep z resolution
     source_iso: bool = False     # SliceToVolume preset: source resampled
                                  # isotropic and doubled per level in z too
+    # optimizer: "coord" (per-DOF sweeps, the round-4 default) or
+    # "coord+gd" — coord then a normalized-gradient line-search POLISH
+    # per level (the reference's irtkGradientDescentOptimizer scheme).
+    # Round-5 measurement (tools/diag_package3.py): coord alone stalls
+    # at per-DOF local optima on package registration (a rotation error
+    # with compensating translation needs a COUPLED move); the gd polish
+    # escapes them at small cost.
+    optimizer: str = "coord"
+    gd_steps: int = 2            # polish step-halving rounds
+    gd_iterations: int = 8       # polish iterations per round
 
 
 def guess_padding(data: np.ndarray) -> float:
@@ -253,6 +263,28 @@ def _vol_sweep_b_jit(metric, bins, shared_src, epsilon, tdata, sdata,
     return params, active, best, jnp.any(active)
 
 
+@partial(jax.jit, static_argnames=("metric", "bins", "shared_src",
+                                   "steps", "iterations", "epsilon",
+                                   "max_linesearch"))
+def _vol_gd_b_jit(metric, bins, shared_src, steps, iterations, epsilon,
+                  max_linesearch, tdata, sdata, tgt_i2w, src_w2i, tpad,
+                  spad, params, step0):
+    """Batched gradient-descent polish: the reference's
+    irtkGradientDescentOptimizer scheme (normalized 6-vector central
+    difference + greedy line search) run as one fixed-length scanned
+    program from the coord result."""
+    from .optimizer import OptimizerConfig, optimize_level
+
+    def cost(p):
+        return _vol_cost_body_b(metric, bins, shared_src, tdata, sdata,
+                                tgt_i2w, src_w2i, tpad, spad, p)
+
+    ocfg = OptimizerConfig(steps=steps, iterations=iterations,
+                           epsilon=epsilon,
+                           max_linesearch=max_linesearch)
+    return optimize_level(ocfg, cost, params, step0)
+
+
 def _pad_batch(vols: List[np.ndarray], pads: List[float]) -> np.ndarray:
     """Stack differently-shaped volumes into (M, z, y, x), padding each
     at the high end with ITS OWN padding value (pad voxels then behave
@@ -385,6 +417,15 @@ def register_volumes_batched(cfg: VolRegConfig, targets: List[Image],
                     params, active, best, step)
                 if not bool(any_active):
                     break
+        if cfg.optimizer.endswith("gd"):
+            p_gd, best_gd = _vol_gd_b_jit(
+                cfg.metric, cfg.bins, shared_src, cfg.gd_steps,
+                cfg.gd_iterations, cfg.epsilon, cfg.max_linesearch,
+                tdata, sdata, tgt_i2w, src_w2i, tpad_a, spad_a, params,
+                jnp.float32(cfg.step0 * (2.0 ** level) / 2.0))
+            take = ok_a & (best_gd >= best)
+            params = jnp.where(take[:, None], p_gd, params)
+            best = jnp.where(take, best_gd, best)
         sim = jnp.where(ok_a, best, sim)
 
     t_new = np.asarray(rigid_matrix_jax(params)).astype(np.float64)
@@ -472,6 +513,17 @@ def register_volumes(cfg: VolRegConfig, target: Image, source: Image,
                     jnp.float32(spad), params, active, best, step)
                 if not bool(any_active):
                     break
+        if cfg.optimizer.endswith("gd"):
+            p_gd, best_gd = _vol_gd_b_jit(
+                cfg.metric, cfg.bins, False, cfg.gd_steps,
+                cfg.gd_iterations, cfg.epsilon, cfg.max_linesearch,
+                tdata[None], sdata[None], tgt_i2w[None], src_w2i[None],
+                jnp.full((1,), tpad, jnp.float32),
+                jnp.full((1,), spad, jnp.float32), params,
+                jnp.float32(cfg.step0 * (2.0 ** level) / 2.0))
+            take = best_gd >= best
+            params = jnp.where(take[:, None], p_gd, params)
+            best = jnp.where(take, best_gd, best)
         sim = best
 
     t_new = np.asarray(rigid_matrix_jax(params))[0].astype(np.float64)

@@ -164,3 +164,37 @@ def test_inplane_rotation_recovery(metric):
     tol_t = 0.75 if metric == "ncc" else 1.5
     assert abs(p[5] - rz_true) < tol_r, p
     assert abs(p[0] - tx_true) < tol_t, p
+
+
+@pytest.mark.slow
+def test_stepped_compaction_equality(monkeypatch):
+    """Active-set compaction must not change results: per-slice costs
+    are independent of batch composition, so the compacted stepped
+    driver is equivalent to the full-batch one (pads are inactive and
+    scatter-back only covers real rows)."""
+    gt = make_ground_truth(n=32, spacing=1.5)
+    stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.0, dz=2.0,
+                                orientations=[[0, 0, 0], [90, 0, 0]])
+    batch = create_slices(stacks, [4.0, 4.0])
+    targets, mo, ofs_i2w = prepare_registration_slices(batch, gt.attr.dx)
+    n = batch.n_slices
+    assert n > 16  # compaction must actually engage
+    rng = np.random.default_rng(3)
+    init = np.zeros((n, 4, 4), np.float32)
+    for i in range(n):
+        init[i] = rigid_matrix([rng.uniform(-3, 3), rng.uniform(-3, 3),
+                                rng.uniform(-2, 2), rng.uniform(-4, 4),
+                                rng.uniform(-4, 4), rng.uniform(-4, 4)])
+    cfg = s2v.SliceRegConfig(levels=1, steps=2, iterations=6)
+
+    args = (cfg, jnp.asarray(gt.data),
+            jnp.asarray(gt.attr.w2i(), jnp.float32), jnp.asarray(init),
+            jnp.asarray(mo), jnp.asarray(ofs_i2w), jnp.asarray(targets),
+            gt.attr.dx)
+    out_c, sim_c = s2v.register_slices_to_volume(*args)
+    monkeypatch.setattr(s2v, "_bucket_size", lambda k, nn: nn)
+    out_f, sim_f = s2v.register_slices_to_volume(*args)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_f),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim_c), np.asarray(sim_f),
+                               atol=1e-5)

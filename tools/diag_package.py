@@ -43,9 +43,28 @@ def _psnr_vs_gt(gt, out):
     return psnr(out.data[roi], gt_on[roi])
 
 
+def make_textured_gt(n=32, spacing=1.25, seed=7):
+    """Finer-textured asymmetric GT than phantom.make_ground_truth: the
+    package-resolution CC surface of the smooth phantom admits
+    equal-similarity optima rotated 4-12 deg off truth (diag_package3
+    round-5 measurement) — clinical anatomy has the sharp asymmetric
+    structure that pins rotation, so the scenario must too."""
+    from fetalreconstruction_tpu.core.geometry import ImageAttributes
+    a = ImageAttributes(x=n, y=n, z=n, dx=spacing, dy=spacing, dz=spacing)
+    lin = np.linspace(-1, 1, n)
+    z, y, x = np.meshgrid(lin, lin, lin, indexing="ij")
+    r = np.sqrt(x ** 2 + 1.2 * y ** 2 + 1.1 * z ** 2)
+    tex = (60.0 + 25.0 * np.cos(7 * np.pi * r)
+           + 20.0 * np.sin(6.0 * x + 9.5 * y - 7.5 * z)
+           + 15.0 * np.sin(11.0 * x * y + 8.0 * z)
+           + 15.0 * np.cos(9.0 * y * z - 7.0 * x))
+    vol = np.where(r < 0.85, np.maximum(tex, 1.0), 0.0).astype(np.float32)
+    return Image(vol, a)
+
+
 def build(seed=3, mt=3.0, mr=4.0):
     orientations = [[0, 0, 0], [90, 0, 0]]
-    gt = make_ground_truth(n=32, spacing=1.25)
+    gt = make_textured_gt(n=32, spacing=1.25)
     rng = np.random.default_rng(seed)
     slice_motions = []
     pkg_motions = []

@@ -49,6 +49,34 @@ def main():
             print(f"stack {s} pkg {l}: |dt|={derr:5.2f} mm "
                   f"rot={rerr:5.2f} deg  sim={sim:.4f}")
 
+    # does a gd polish (mixed-direction line search) escape the coord
+    # local optimum?  coord accepts only per-DOF moves; a rotation error
+    # with compensating translation needs a COUPLED move to fix.
+    from fetalreconstruction_tpu.register.optimizer import OptimizerConfig
+    from fetalreconstruction_tpu.register import volume as vol_mod
+    import fetalreconstruction_tpu.register.volume as V
+
+    orig_sweeps = {}
+
+    def hybrid_register(cfg, tgt, src):
+        return register_volumes(cfg, tgt, src)
+
+    for s, st in enumerate(stacks):
+        packs = split_image(st, 2)
+        t_true = rigid_matrix(slice_motions[s][1])
+        for l, pkg in enumerate(packs):
+            want = np.eye(4) if l == 0 else t_true
+            cfg = VolRegConfig(metric="cc", source_iso=True,
+                               optimizer="coord+gd")
+            t_est, sim = register_volumes(cfg, pkg, recon)
+            derr = np.linalg.norm(
+                (np.linalg.inv(want) @ t_est - np.eye(4))[:3, 3])
+            rerr = np.rad2deg(np.arccos(np.clip(
+                (np.trace((np.linalg.inv(want) @ t_est)[:3, :3]) - 1) / 2,
+                -1, 1)))
+            print(f"HYBRID stack {s} pkg {l}: |dt|={derr:5.2f} mm "
+                  f"rot={rerr:5.2f} deg  sim={sim:.4f}")
+
     # cost landscape for stack 0 package 1 at pyramid level 0
     st = stacks[0]
     pkg = split_image(st, 2)[1]

@@ -105,6 +105,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", type=int, nargs="*", default=[0, 1, 2])
     ap.add_argument("--scan", type=int, default=1)
+    ap.add_argument("--full", action="store_true",
+                    help="time register_slices_to_volume end-to-end on "
+                         "the canonical problem (mid-registration "
+                         "perturbed init)")
+    ap.add_argument("--no-compact", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -122,6 +127,25 @@ def main():
     print(f"backend: {jax.default_backend()}")
     d = setup()
     cfg = s2v.SliceRegConfig()
+
+    if args.full:
+        if args.no_compact:
+            s2v._bucket_size = lambda k, nn: nn
+        t_init = s2v.params_to_matrix(d["params"])
+        mo_inv = jnp.linalg.inv(d["mo"])
+        transforms = jnp.einsum("nij,njk->nik", t_init, mo_inv)
+        for rep in range(3):
+            t0 = time.perf_counter()
+            out, sim = s2v.register_slices_to_volume(
+                cfg, d["recon"], d["recon_w2i"], transforms, d["mo"],
+                d["ofs_i2w"], d["targets"], 1.0)
+            sync(sim)
+            dt = time.perf_counter() - t0
+            n = d["n"]
+            print(f"full registration round (rep {rep}): {dt:.1f}s = "
+                  f"{n / dt:.1f} slices/s "
+                  f"{'(no compaction)' if args.no_compact else ''}")
+        return
     sigmas = cfg.blur_sigmas(1.0)
     table = pf.make_shingle([d["recon"]])
     vol_shape = tuple(d["recon"].shape)
@@ -146,6 +170,14 @@ def main():
             table, vol_shape, None, d["recon_w2i"], p, ofs_l, (h, w), 0))
         t = timeit(lambda: gen1(params))
         print(f"  generate (1 offset):    {t*1e3:8.1f} ms")
+        # bf16 table: is the gather bandwidth-bound (2x) or
+        # per-index-bound (no change)?
+        table16 = table.astype(jnp.bfloat16)
+        gen16 = jax.jit(lambda p: s2v.generate_slices_psf(
+            table16, vol_shape, None, d["recon_w2i"], p, ofs_l, (h, w),
+            0))
+        t = timeit(lambda: gen16(params))
+        print(f"  generate bf16 table:    {t*1e3:8.1f} ms")
         gen = gen1(params)
         blur1 = jax.jit(lambda g: s2v.reg_blur(g, float(gen_sigma)))
         t = timeit(lambda: blur1(gen))

@@ -75,3 +75,7 @@ class SVRConfig:
     # see register/slice2vol.SliceRegConfig)
     reg_levels: int = 3
     reg_iterations: int = 20
+    # s2v optimizer ("coord" stepped+compacted host driver, "coord-scan"
+    # the identical algorithm as one fixed-length scanned program — what
+    # mesh paths run inside shard_map, "gd" reference gradient scheme)
+    reg_optimizer: str = "coord"

@@ -528,7 +528,8 @@ def run_svr(cfg: SVRConfig, stacks: Optional[List[Image]] = None,
     # GuessParameterSliceToVolume(useNMI) path)
     reg_cfg = s2v.SliceRegConfig(levels=cfg.reg_levels,
                                  iterations=cfg.reg_iterations,
-                                 metric="nmi" if cfg.use_nmi else "ncc")
+                                 metric="nmi" if cfg.use_nmi else "ncc",
+                                 optimizer=cfg.reg_optimizer)
     do_bias = (cfg.intensity_matching
                and not cfg.disable_bias_correction and cfg.sigma > 0)
     do_nbias = do_bias and not cfg.global_bias_correction

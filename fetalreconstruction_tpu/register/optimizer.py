@@ -48,12 +48,14 @@ def optimize_level(cfg: OptimizerConfig, cost: Callable, params0, step0):
         def grad_iter(carry2, _):
             params, active, _ = carry2
             sim0 = cost(params)
-            grads = []
-            for p in range(6):
-                sp = cost(params + step_size * eye6[p][None, :])
-                sm = cost(params - step_size * eye6[p][None, :])
-                grads.append(sp - sm)
-            grad = jnp.stack(grads, axis=-1)
+
+            def probe(_, e_p):
+                sp = cost(params + step_size * e_p[None, :])
+                sm = cost(params - step_size * e_p[None, :])
+                return 0, sp - sm
+
+            _, grads = jax.lax.scan(probe, 0, eye6)  # (6, N)
+            grad = jnp.moveaxis(grads, 0, -1)
             norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
             grad = jnp.where(norm > 0, grad / jnp.maximum(norm, 1e-30), 0.0)
 
@@ -103,18 +105,28 @@ def coord_sweep(cost: Callable, params, active, best, step_size,
     RAISED threshold instead kills the small refinement steps real
     motion recovery needs).
 
+    The 6 DOF blocks run as ONE lax.scan body, not unrolled — scan is
+    sequential, so the Gauss-Seidel update order is preserved exactly,
+    and the HLO holds a single cost-eval instance instead of 12
+    (round-5 chip finding: the unrolled sweep program took 20-150 s of
+    per-process first-touch compile/load through the remote-compile
+    tunnel; program SIZE, not warm speed, was the cost).
+
     Returns (params, active & improved, best)."""
     n = params.shape[0]
     eye6 = jnp.eye(6, dtype=params.dtype)
-    improved = jnp.zeros((n,), bool)
     eps_base = epsilon * jnp.maximum(step_size, 1.0)
-    for p in range(6):
-        # through-plane DOFs of a thick slice (tz, rx, ry — params 2, 3,
-        # 4) see mostly forward-model blur mismatch, not signal: their
-        # accept threshold is 4x stiffer (round-4 measurement: ungated
-        # through-plane moves dragged well-aligned slices off truth)
-        eps_eff = eps_base * (4.0 if p in (2, 3, 4) else 1.0)
-        delta = step_size * eye6[p][None, :]
+    # through-plane DOFs of a thick slice (tz, rx, ry — params 2, 3, 4)
+    # see mostly forward-model blur mismatch, not signal: their accept
+    # threshold is 4x stiffer (round-4 measurement: ungated
+    # through-plane moves dragged well-aligned slices off truth)
+    eps_fac = jnp.asarray([1.0, 1.0, 4.0, 4.0, 4.0, 1.0], params.dtype)
+
+    def dof_block(carry, inp):
+        params, best, improved = carry
+        e_p, fac = inp
+        eps_eff = eps_base * fac
+        delta = step_size * e_p[None, :]
         cp = cost(params + delta)
         cm = cost(params - delta)
         # directional-contrast gate: besides improving on `best`, the
@@ -132,6 +144,11 @@ def coord_sweep(cost: Callable, params, active, best, step_size,
         params = params + delta * sign[:, None]
         best = jnp.where(take_p, cp, jnp.where(take_m, cm, best))
         improved = improved | take_p | take_m
+        return (params, best, improved), None
+
+    (params, best, improved), _ = jax.lax.scan(
+        dof_block, (params, best, jnp.zeros((n,), bool)),
+        (eye6, eps_fac))
     return params, active & improved, best
 
 

@@ -82,8 +82,11 @@ class SliceRegConfig:
     # optimizer: "coord" (per-DOF Gauss-Seidel sweeps — round-4 default:
     # recovers rotation+translation couplings the reference's
     # normalized-gradient line search measurably stalls on, at the same
-    # cost-eval budget; optimizer.optimize_level_coord) or "gd" (the
-    # reference-faithful gradient scheme)
+    # cost-eval budget; optimizer.optimize_level_coord), "coord-scan"
+    # (the same algorithm, but always the fixed-length scanned program —
+    # no stepped host loop / no compaction; what mesh paths run inside
+    # shard_map, exposed for single-device equality testing), or "gd"
+    # (the reference-faithful gradient scheme)
     optimizer: str = "coord"
     # psf_matched: generate registration slices from the per-stack
     # PSF-convolved volume (generate_slices_psf) instead of the raw
@@ -200,7 +203,7 @@ def generate_slices_psf(table, vol_shape, sid, recon_w2i, params, ofs_i2w,
     m = jnp.einsum("ij,njk,nkl->nil", recon_w2i, t, ofs_i2w)
     xs = jnp.arange(w, dtype=jnp.float32)
     ys = jnp.arange(h, dtype=jnp.float32)
-    zval = jnp.float32(insofs * 2.0)
+    zval = jnp.asarray(insofs, jnp.float32) * 2.0  # traced OK
     pts = (m[:, None, None, :3, 0] * xs[None, None, :, None]
            + m[:, None, None, :3, 1] * ys[None, :, None, None]
            + m[:, None, None, :3, 2] * zval
@@ -229,7 +232,7 @@ def generate_slices(recon, recon_w2i, params, ofs_i2w, shape_hw, insofs):
     m = jnp.einsum("ij,njk,nkl->nil", recon_w2i, t, ofs_i2w)
     xs = jnp.arange(w, dtype=jnp.float32)
     ys = jnp.arange(h, dtype=jnp.float32)
-    zval = jnp.float32(insofs * 2.0)
+    zval = jnp.asarray(insofs, jnp.float32) * 2.0  # traced OK
     pts = (m[:, None, None, :3, 0] * xs[None, None, :, None]
            + m[:, None, None, :3, 1] * ys[None, :, None, None]
            + m[:, None, None, :3, 2] * zval
@@ -297,7 +300,10 @@ def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
     def cost(params):
         # (a fused single-gather form over all through-plane offsets was
         # measured SLOWER on chip — 307 vs 288 ms per eval; TPU gather
-        # cost is per-index, so batching buys nothing)
+        # cost is per-index, so batching buys nothing.  The offsets stay
+        # UNROLLED: a lax.scan variant shrank the program 3x more but
+        # cost ~20% warm throughput — the DOF-level scan in coord_sweep
+        # already bounds first-touch program size.)
         sim = jnp.zeros((params.shape[0],), jnp.float32)
         for insofs in cfg.through_plane_offsets:
             if psf_table is not None:
@@ -389,12 +395,15 @@ def _compact_rows(bucket, sel, *arrays):
 
 
 def _bucket_size(k: int, n: int) -> int:
-    """Smallest power-of-two >= max(k, 16), capped at n — bounds the
-    set of compiled sweep shapes to ~log2(n) buckets."""
-    b = 16
-    while b < k:
-        b *= 2
-    return min(b, n)
+    """Smallest ladder bucket >= k, capped at n.  The ladder is SHORT
+    ({16, 128, 1024}) because chip measurement shows active counts
+    collapse to <= 16 within a few sweeps, while every distinct sweep
+    shape pays a 20-150 s first-touch compile through the remote-compile
+    tunnel — fewer shapes beats marginally tighter batches."""
+    for b in (16, 128, 1024):
+        if k <= b:
+            return min(b, n)
+    return n
 
 
 def _stepped_round(cfg, statics, args, params, best, step, n):
@@ -412,6 +421,11 @@ def _stepped_round(cfg, statics, args, params, best, step, n):
     composition, so results are bit-identical to the uncompacted path).
     Returns (params, best) as full-batch arrays.
     """
+    import os
+    import time as _time
+    dbg = os.environ.get("FETALRECON_S2V_DEBUG") == "1"
+    t_round = _time.perf_counter()
+    sweeps = 0
     psf_table, sid, recon_w2i, ofs_l, tgt, tgt_mean = args
     sel = None                   # np row indices of the working set
     cur_bucket = n
@@ -421,6 +435,7 @@ def _stepped_round(cfg, statics, args, params, best, step, n):
     p = params
     b = best
     for _ in range(cfg.iterations):
+        sweeps += 1
         p, a, b, _ = _sweep_once(*statics, *cur_args, *cur, step)
         am = np.asarray(a)[:n if sel is None else len(sel)]
         k = int(am.sum())
@@ -457,6 +472,11 @@ def _stepped_round(cfg, statics, args, params, best, step, n):
             cur_bucket = bucket
         else:
             cur = (p, a, b)
+    if dbg:
+        print(f"    s2v round: tgt {tuple(tgt.shape)} step "
+              f"{float(step):.3g} sweeps {sweeps} final_bucket "
+              f"{cur_bucket} wall {_time.perf_counter() - t_round:.2f}s",
+              flush=True)
     if sel is None:
         return p, b
     full_params[sel] = np.asarray(p)[:len(sel)]
@@ -520,14 +540,17 @@ def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
         if stepped:
             statics = (cfg, sub_level, float(gen_sigma), vol_shape)
             args = (psf_table, sid, recon_w2i, ofs_l, tgt, tgt_mean)
-            best = None
             for sr in range(cfg.steps):
                 step = jnp.float32(step0_level / 2.0 ** sr)
-                if best is None:
-                    # the cost function is identical across the step
-                    # rounds of a level, so `best` carries over — only
-                    # the FIRST round of a level needs the initial eval
-                    best = _cost_once(*statics, *args, params)
+                # `best` is recomputed at every step round (NOT carried
+                # from the previous round's sweeps): the sweep program
+                # and the cost program may round differently in the
+                # last ulp, and carrying the sweep-computed value was
+                # measured to flip accept decisions vs the scanned
+                # optimize_level_coord path (test_g2_registration_
+                # matches) — exact stepped/scanned equivalence is worth
+                # the ~3% extra eval
+                best = _cost_once(*statics, *args, params)
                 params, best = _stepped_round(
                     cfg, statics, args, params, best, step, n)
             sim = best
@@ -540,7 +563,8 @@ def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
                                epsilon=cfg.epsilon,
                                max_linesearch=cfg.max_linesearch)
         opt = optimize_level_coord \
-            if getattr(cfg, "optimizer", "coord") == "coord" \
+            if getattr(cfg, "optimizer", "coord") in ("coord",
+                                                      "coord-scan") \
             else optimize_level
         params, sim = opt(ocfg, cost, params, step0_level)
     t_new = params_to_matrix(params)

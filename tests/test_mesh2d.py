@@ -128,12 +128,21 @@ def test_g2_geometry_simulate_inner_match(setup, shape):
 
 
 def test_g2_registration_matches(setup):
-    """all-gathered slab registration == replicated registration."""
+    """all-gathered slab registration == replicated registration.
+
+    optimizer="coord-scan" pins BOTH sides to the identical fixed-length
+    scanned program, so the assertion isolates the SHARDING (the stepped
+    host driver with active-set compaction is only statistically
+    equivalent — batch-shape-dependent reduction roundings flip
+    razor-thin accept decisions; its quality is covered by the
+    acceptance scenarios and its internal consistency by
+    test_stepped_compaction_equality)."""
     p = setup
     from fetalreconstruction_tpu.register import slice2vol as s2v
     mesh = g2.make_mesh2d(2, 4, jax.devices()[:8])
     cfg = s2v.SliceRegConfig(levels=1, steps=2, iterations=2,
-                             psf_matched=False)  # sharding equality only
+                             psf_matched=False,
+                             optimizer="coord-scan")  # sharding equality
     rng = np.random.default_rng(0)
     recon = jnp.asarray(np.maximum(p["gt"].data, 0.0))
     n, h, w = p["slices"].shape
@@ -165,10 +174,14 @@ def test_g2_pipeline_mode_matches_single_device():
     stacks, _ = simulate_stacks(gt, n_stacks=2, in_plane=2.5, dz=4.0,
                                 noise=1.0)
     mask_img = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
+    # reg_optimizer="coord-scan" pins both runs to the identical scanned
+    # registration program (the stepped+compacted host driver is only
+    # statistically equivalent; see test_g2_registration_matches)
     cfg = SVRConfig(iterations=2, resolution=2.4, rec_iterations_first=2,
                     rec_iterations_last=2, smooth_mask=2.0,
                     multires_levels=1, reg_levels=1, reg_iterations=2,
-                    max_psf_support=8, no_log=True)
+                    max_psf_support=8, no_log=True,
+                    reg_optimizer="coord-scan")
     r_single = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
                                     for s in stacks], mask=mask_img)
     mesh = g2.make_mesh2d(2, 2, jax.devices()[:4])

@@ -306,8 +306,12 @@ def test_sharded_registration_matches_single_device():
     t0 = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
 
     # psf_matched off: this test checks SHARDING equality (the PSF-matched
-    # path is covered by the run_svr pipeline equality tests)
-    cfg = s2v.SliceRegConfig(levels=1, iterations=3, psf_matched=False)
+    # path is covered by the run_svr pipeline equality tests);
+    # coord-scan pins both sides to the identical scanned program so the
+    # stepped driver's compaction (batch-shape-dependent roundings)
+    # can't flip accept decisions on one side only
+    cfg = s2v.SliceRegConfig(levels=1, iterations=3, psf_matched=False,
+                             optimizer="coord-scan")
     single_t, single_sim = s2v.register_slices_to_volume(
         cfg, recon, recon_w2i, t0, jnp.asarray(mo), jnp.asarray(ofs),
         jnp.asarray(targets), ra.dx)

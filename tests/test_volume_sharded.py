@@ -182,10 +182,13 @@ def test_vs_pipeline_mode_matches_single_device():
     mask_img = Image((gt.data > 1.0).astype(np.float32), gt.attr.copy())
     # full defaults including bias correction + NormaliseBias: the
     # volume-sharded NormaliseBias (multi-hop blur halos) must match too
+    # reg_optimizer="coord-scan" pins both runs to the same scanned
+    # registration program (see tests/test_mesh2d.py)
     cfg = SVRConfig(iterations=2, resolution=2.4, rec_iterations_first=2,
                     rec_iterations_last=2, smooth_mask=2.0,
                     multires_levels=1, reg_levels=1, reg_iterations=2,
-                    max_psf_support=8, no_log=True)
+                    max_psf_support=8, no_log=True,
+                    reg_optimizer="coord-scan")
     r_single = run_svr(cfg, stacks=[Image(s.data.copy(), s.attr.copy())
                                     for s in stacks], mask=mask_img)
     mesh = vs.make_vol_mesh(jax.devices()[:4])

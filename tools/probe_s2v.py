@@ -83,7 +83,8 @@ def setup(n=168, hw=180, vol=168):
     pert = rng.normal(0, 1.0, (n, 6)).astype(np.float32)
     params0 = params_true + jnp.asarray(pert)
     return dict(recon=recon, recon_w2i=recon_w2i, ofs_i2w=ofs_i2w,
-                targets=targets, params=params0, mo=jnp.asarray(mo), n=n)
+                targets=targets, params=params0, params_true=params_true,
+                mo=jnp.asarray(mo), n=n, rng=rng)
 
 
 def sync(x):
@@ -110,6 +111,10 @@ def main():
                          "the canonical problem (mid-registration "
                          "perturbed init)")
     ap.add_argument("--no-compact", action="store_true")
+    ap.add_argument("--pert", type=float, default=1.0,
+                    help="init perturbation sigma (mm/deg); --half "
+                         "perturbs only every other slice")
+    ap.add_argument("--half", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -131,6 +136,13 @@ def main():
     if args.full:
         if args.no_compact:
             s2v._bucket_size = lambda k, nn: nn
+        if args.pert != 1.0 or args.half:
+            rng = np.random.default_rng(9)
+            pert = rng.normal(0, args.pert,
+                              (d["n"], 6)).astype(np.float32)
+            if args.half:
+                pert[1::2] = 0.0
+            d["params"] = d["params_true"] + jnp.asarray(pert)
         t_init = s2v.params_to_matrix(d["params"])
         mo_inv = jnp.linalg.inv(d["mo"])
         transforms = jnp.einsum("nij,njk->nik", t_init, mo_inv)

@@ -325,22 +325,33 @@ def make_cost_fn(cfg: SliceRegConfig, recon, recon_w2i, ofs_i2w,
     return cost
 
 
-def _level_data(cfg: SliceRegConfig, targets, ofs_i2w, sigma_pix_full,
-                level: int):
-    """Per-level target/geometry preparation.
+@partial(jax.jit, static_argnames=("dtype",))
+def _make_reg_table(recon, dtype: str):
+    """Registration shingle table build (+ optional bf16 cast) as ONE
+    jitted program (the eager make_shingle chain paid ~7 s of per-op
+    first-touch compiles per fresh process)."""
+    from ..ops.psf_fast import make_shingle
+    t = make_shingle([recon])
+    return t.astype(jnp.bfloat16) if dtype == "bf16" else t
 
-    With cfg.pyramid (default): blur at the level sigma, then DECIMATE
-    the pixel grid by 2^level — the reference CPU registration's true
-    image pyramid (irtkImageRegistration::Initialize downsamples by
-    _Resolution[l]); the round-3 implementation only blurred and kept
-    the GPU path's lin%(level+1) subsample.  Decimation cuts level-l
-    cost-eval work 4^l x and is what makes coarse levels cheap enough
-    for the stepped TPU driver.  ofs_i2w absorbs the pixel scale."""
+
+def _level_factor(cfg: SliceRegConfig, shape_hw, level: int) -> int:
+    """Decimation factor for a pyramid level (shape-only decision)."""
     f = 2 ** level if getattr(cfg, "pyramid", True) else 1
     # minimum-size guard (the reference pyramid stops downsampling small
     # images): decimating tiny targets destroys the cost signal
-    while f > 1 and min(targets.shape[1:]) // f < 32:
+    while f > 1 and min(shape_hw) // f < 32:
         f //= 2
+    return f
+
+
+@partial(jax.jit, static_argnames=("f", "sigma_pix_full"))
+def _level_arrays(f, sigma_pix_full, targets, ofs_i2w):
+    """Jitted per-level target prep: blur (+ padding-aware f x f average
+    pooling when f > 1) + per-slice masked means — ONE program.  The
+    former eager form ran ~35 separate ops, each paying a per-op compile
+    through the remote-compile tunnel on first touch (measured 72.8 s
+    for the coarsest level of a fresh process, round-5 probe)."""
     tgt = reg_blur(targets, sigma_pix_full)
     if f > 1:
         # padding-aware f x f average pooling (the reference resamples
@@ -356,10 +367,30 @@ def _level_data(cfg: SliceRegConfig, targets, ofs_i2w, sigma_pix_full,
         tgt = jnp.where(c > 0, s / jnp.maximum(c, 1), -1.0)
         scale = np.diag([f, f, 1.0, 1.0]).astype(np.float32)
         scale[0, 3] = scale[1, 3] = (f - 1) / 2.0
-        ofs_l = jnp.einsum("nij,jk->nik", ofs_i2w,
-                           jnp.asarray(scale))
+        ofs_l = jnp.einsum("nij,jk->nik", ofs_i2w, jnp.asarray(scale))
+    else:
+        ofs_l = ofs_i2w
+    mean, _ = _masked_mean(tgt)
+    return tgt, ofs_l, mean
+
+
+def _level_data(cfg: SliceRegConfig, targets, ofs_i2w, sigma_pix_full,
+                level: int):
+    """Per-level target/geometry preparation.
+
+    With cfg.pyramid (default): blur at the level sigma, then DECIMATE
+    the pixel grid by 2^level — the reference CPU registration's true
+    image pyramid (irtkImageRegistration::Initialize downsamples by
+    _Resolution[l]); the round-3 implementation only blurred and kept
+    the GPU path's lin%(level+1) subsample.  Decimation cuts level-l
+    cost-eval work 4^l x and is what makes coarse levels cheap enough
+    for the stepped TPU driver.  ofs_i2w absorbs the pixel scale."""
+    f = _level_factor(cfg, targets.shape[1:], level)
+    tgt, ofs_l, _ = _level_arrays(f, float(sigma_pix_full), targets,
+                                  ofs_i2w)
+    if f > 1:
         return tgt, ofs_l, sigma_pix_full / f, 0
-    return tgt, ofs_i2w, sigma_pix_full, \
+    return tgt, ofs_l, sigma_pix_full, \
         (0 if getattr(cfg, "pyramid", True) else level)
 
 
@@ -510,13 +541,20 @@ def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
     # single width-8 take per sample instead of sample_linear's 8
     # separate element takes (round-4 chip profile: 614 ms -> ~200 ms
     # per cost eval at the canonical shape; numerically identical)
+    import os as _os0
+    import time as _time0
+    _t0 = _time0.perf_counter()
+    dtype = str(getattr(cfg, "table_dtype", "bf16"))
     if psf_table is None:
-        from ..ops.psf_fast import make_shingle
-        psf_table = make_shingle([recon])
+        psf_table = _make_reg_table(recon, dtype)
         vol_shape = tuple(recon.shape)
         sid = None
-    if getattr(cfg, "table_dtype", "bf16") == "bf16":
+    elif dtype == "bf16":
         psf_table = psf_table.astype(jnp.bfloat16)
+    if _os0.environ.get("FETALRECON_S2V_DEBUG") == "1":
+        psf_table.block_until_ready()
+        print(f"    s2v prep: table {_time0.perf_counter() - _t0:.2f}s",
+              flush=True)
 
     # STEPPED driver (host loop of jitted sweeps) outside traces with
     # the coord optimizer: (a) the monolithic level program (scan over
@@ -531,11 +569,28 @@ def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
                and not isinstance(params, jax.core.Tracer)
                and getattr(cfg, "optimizer", "coord") == "coord")
 
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("FETALRECON_S2V_DEBUG") == "1"
+
+    def _mark(tag, t0):
+        if _dbg:
+            print(f"    s2v prep: {tag} {_time.perf_counter() - t0:.2f}s",
+                  flush=True)
+        return _time.perf_counter()
+
     for level in range(cfg.levels - 1, -1, -1):
         sigma_pix = sigmas[level] / float(recon_dx)
-        tgt, ofs_l, gen_sigma, sub_level = _level_data(
-            cfg, targets, ofs_i2w, sigma_pix, level)
-        tgt_mean, _ = _masked_mean(tgt)
+        _t = _time.perf_counter()
+        f = _level_factor(cfg, targets.shape[1:], level)
+        tgt, ofs_l, tgt_mean = _level_arrays(f, float(sigma_pix),
+                                             targets, ofs_i2w)
+        gen_sigma = sigma_pix / f if f > 1 else sigma_pix
+        sub_level = 0 if (f > 1 or getattr(cfg, "pyramid", True)) \
+            else level
+        if _dbg:
+            tgt.block_until_ready()
+        _t = _mark(f"level {level} data", _t)
         step0_level = cfg.step0 * (2.0 ** level)
         if stepped:
             statics = (cfg, sub_level, float(gen_sigma), vol_shape)
@@ -551,6 +606,9 @@ def register_slices_to_volume(cfg: SliceRegConfig, recon, recon_w2i,
                 # matches) — exact stepped/scanned equivalence is worth
                 # the ~3% extra eval
                 best = _cost_once(*statics, *args, params)
+                if _dbg and sr == 0:
+                    best.block_until_ready()
+                    _t = _mark(f"level {level} cost_once", _t)
                 params, best = _stepped_round(
                     cfg, statics, args, params, best, step, n)
             sim = best
